@@ -55,6 +55,7 @@ def make_video_model_fn(
     observed_frames: str = "x_0",
     train: bool = False,
     disable_obs_conditioning: bool = False,
+    dropout_rng=None,
 ):
     """model_fn for CondMarg video models.
 
@@ -74,12 +75,15 @@ def make_video_model_fn(
         eff_obs_mask = obs_mask
         eff_latent_mask = latent_mask
 
+    apply_rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+
     def apply(x, t, cond):
         t_model = diffusion.scale_timesteps(t)
         return model.apply(
             variables,
             x,
             t_model,
+            rngs=apply_rngs,
             x0=x0,
             obs_mask=eff_obs_mask,
             latent_mask=eff_latent_mask,

@@ -1,0 +1,518 @@
+"""Training runtime: one jitted SPMD train step + the host-side TrainLoop.
+
+TPU-native redesign of /root/reference/improved_diffusion/train_util.py:
+
+* the hot path is ONE jitted function: loss → grad → AdamW → EMA, with
+  gradient accumulation as a ``lax.scan`` over microbatches. Params are
+  replicated and the batch is sharded over the mesh 'data' axis; XLA inserts
+  the gradient reductions (replacing DDP/NCCL allreduce, train_util.py:133-151);
+* mask sampling runs host-side in the input path (training/masks.py) so the
+  device only sees static (B, max_frames, ...) shapes;
+* bf16 compute / f32 params replaces fp16 loss scaling (optimize_fp16,
+  train_util.py:507-523) — non-finite grads still skip the step;
+* EMA is a pure tree update inside the step (nn.update_ema);
+* LR: the reference constructs CosineAnnealingWarmRestarts(period=iterations)
+  AND a linear anneal; the linear anneal wins when lr_anneal_steps>0 because
+  it is applied immediately before opt.step() (train_util.py:539-545, :118).
+  We reproduce that effective behavior.
+"""
+
+import copy
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.nn import update_ema
+from ..models.wrappers import make_video_model_fn
+from ..parallel import mesh as mesh_lib
+from ..training.masks import MaskSampler, make_interesting_masks
+from ..training.resample import LossAwareSampler, UniformSampler
+from ..utils import checkpoint as ckpt_lib
+from ..utils import logger
+from ..utils.rng import RNG
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: tuple
+    ema_params: tuple  # one tree per EMA rate
+
+
+def make_lr_schedule(lr, iterations, lr_anneal_steps=0):
+    """Effective reference LR behavior (see module docstring)."""
+
+    def schedule(step):
+        if lr_anneal_steps:
+            return lr * (1.0 - step / lr_anneal_steps)
+        t = jnp.mod(step, iterations) / iterations
+        return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+
+    return schedule
+
+
+def make_optimizer(lr, weight_decay, iterations, lr_anneal_steps=0):
+    return optax.adamw(
+        learning_rate=make_lr_schedule(lr, iterations, lr_anneal_steps),
+        weight_decay=weight_decay,
+    )
+
+
+def build_train_step(
+    model,
+    diffusion,
+    optimizer,
+    ema_rates,
+    observed_frames,
+    pad_with_random_frames,
+    num_microbatches=1,
+):
+    """Build the jitted train step.
+
+    batch dict fields (all leading dim B, already mask-gathered):
+      x (B,N,H,W,C), frame_indices (B,N), obs_mask/latent_mask/kinda_marg_mask
+      (B,N,1,1,1), t (B,), weights (B,).
+    Returns (new_state, metrics) where metrics carries per-example loss terms
+    for quartile logging and the grad norm.
+    """
+
+    def loss_fn(params, batch, rng):
+        x = batch["x"]
+        loss_mask = (
+            (1 - batch["obs_mask"] - batch["kinda_marg_mask"])
+            if pad_with_random_frames
+            else batch["latent_mask"]
+        )
+        drng, lrng = jax.random.split(rng)
+        model_fn = make_video_model_fn(
+            model,
+            {"params": params},
+            diffusion,
+            x0=x,
+            obs_mask=batch["obs_mask"],
+            latent_mask=batch["latent_mask"],
+            kinda_marg_mask=batch["kinda_marg_mask"],
+            frame_indices=batch["frame_indices"],
+            observed_frames=observed_frames,
+            train=True,
+            dropout_rng=drng,
+        )
+        terms = diffusion.training_losses(
+            model_fn,
+            x,
+            batch["t"],
+            lrng,
+            latent_mask=loss_mask,
+            eval_mask=batch["latent_mask"],
+            observed_frames=observed_frames,
+        )
+        loss = (terms["loss"] * batch["weights"]).mean()
+        weighted = {k: v * batch["weights"] for k, v in terms.items()}
+        return loss, weighted
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state, batch, rng):
+        if num_microbatches > 1:
+            # grad accumulation: scan over the microbatch axis
+            mb = jax.tree_util.tree_map(
+                lambda x: x.reshape((num_microbatches, -1) + x.shape[1:]), batch
+            )
+            rngs = jax.random.split(rng, num_microbatches)
+
+            def body(acc, inp):
+                b, r = inp
+                (loss, terms), grads = grad_fn(state.params, b, r)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, (loss, terms)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, (losses, terms) = jax.lax.scan(body, zero, (mb, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / num_microbatches, grads)
+            loss = losses.mean()
+            terms = jax.tree_util.tree_map(lambda x: x.reshape(-1), terms)
+        else:
+            (loss, terms), grads = grad_fn(state.params, batch, rng)
+
+        grad_norm = optax.global_norm(grads)
+        # skip the update on non-finite grads (reference optimize_fp16
+        # NaN-skip semantics, train_util.py:507-511)
+        grads_ok = jnp.isfinite(grad_norm)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = optimizer.update(
+            safe_grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(grads_ok, new, old),
+            (new_params, new_opt_state),
+            (state.params, state.opt_state),
+        )
+        new_ema = tuple(
+            update_ema(e, new_params, rate)
+            for e, rate in zip(state.ema_params, ema_rates)
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        metrics = {"grad_norm": grad_norm, "skipped": ~grads_ok, **terms}
+        return new_state, metrics
+
+    return train_step
+
+
+class TrainLoop:
+    """Host-side orchestration (reference train_util.TrainLoop)."""
+
+    def __init__(
+        self,
+        *,
+        model,
+        diffusion,
+        data,
+        batch_size,
+        microbatch,
+        lr,
+        ema_rate,
+        log_interval,
+        save_interval,
+        resume_checkpoint,
+        T,
+        use_fp16=False,  # accepted for CLI parity; bf16 policy is in the model
+        fp16_scale_growth=1e-3,
+        schedule_sampler=None,
+        weight_decay=0.0,
+        lr_anneal_steps=0,
+        sample_interval=None,
+        iterations=1000000,
+        do_inefficient_marg=True,
+        n_valid_batches=1,
+        n_valid_repeats=1,
+        max_frames=10,
+        n_interesting_masks=3,
+        mask_distribution="differently-spaced-groups",
+        pad_with_random_frames=True,
+        observed_frames="x_t_minus_1",
+        use_gradient_method=False,
+        args=None,
+        mesh=None,
+        seed=0,
+    ):
+        del use_fp16, fp16_scale_growth, use_gradient_method
+        assert args is not None
+        self._args = args
+        self.model = model
+        self.diffusion = diffusion
+        self.data = data
+        self.batch_size = batch_size
+        self.microbatch = microbatch if microbatch > 0 else batch_size
+        assert batch_size % self.microbatch == 0
+        self.num_microbatches = batch_size // self.microbatch
+        self.lr = lr
+        self.ema_rate = (
+            [ema_rate]
+            if isinstance(ema_rate, float)
+            else [float(x) for x in str(ema_rate).split(",")]
+        )
+        self.T = T
+        self.max_frames = max_frames
+        self.log_interval = log_interval
+        self.sample_interval = sample_interval
+        self.save_interval = save_interval
+        self.schedule_sampler = schedule_sampler or UniformSampler(diffusion)
+        self.weight_decay = weight_decay
+        self.lr_anneal_steps = lr_anneal_steps
+        self.iterations = iterations
+        self.observed_frames = observed_frames
+        self.pad_with_random_frames = pad_with_random_frames
+        self.n_valid_batches = n_valid_batches
+        self.n_valid_repeats = n_valid_repeats
+        self.n_interesting_masks = n_interesting_masks
+        self.mask_sampler = MaskSampler(
+            mask_distribution=mask_distribution,
+            max_frames=max_frames,
+            pad_with_random_frames=pad_with_random_frames,
+            do_inefficient_marg=do_inefficient_marg,
+        )
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.rng = np.random.default_rng(seed + 1000 * jax.process_index())
+        self.jrng = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.global_batch = self.batch_size * jax.process_count()
+
+        self.resume_checkpoint = resume_checkpoint or ckpt_lib.find_resume_checkpoint(
+            getattr(args, "resume_id", "")
+        )
+
+        # ---- init / resume params ------------------------------------- #
+        self._init_state()
+
+        self.optimizer = make_optimizer(
+            lr, weight_decay, self.iterations, lr_anneal_steps
+        )
+        opt_state = self.optimizer.init(self.params)
+        ema_params = tuple(
+            copy.deepcopy(self.params) for _ in range(len(self.ema_rate))
+        )
+        if self.resume_checkpoint:
+            opt_state, ema_params = self._load_opt_and_ema(opt_state, ema_params)
+
+        self.state = TrainState(
+            step=jnp.asarray(self.step, dtype=jnp.int32),
+            params=self.params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        del self.params
+        # replicate state over the mesh
+        rep = mesh_lib.replicated_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+
+        self._train_step = jax.jit(
+            build_train_step(
+                self.model,
+                self.diffusion,
+                self.optimizer,
+                tuple(self.ema_rate),
+                self.observed_frames,
+                self.pad_with_random_frames,
+                self.num_microbatches,
+            ),
+            donate_argnums=(0,),
+        )
+
+        with RNG(0):
+            self.valid_batches = [
+                np.asarray(next(self.data)[0][: self.batch_size])
+                for _ in range(self.n_valid_batches)
+            ]
+        n_params = sum(
+            p.size for p in jax.tree_util.tree_leaves(self.state.params)
+        )
+        logger.logkv("num_parameters", n_params)
+        logger.log(f"num_parameters: {n_params}")
+
+    # ------------------------------------------------------------------ #
+    def _init_state(self):
+        if self.resume_checkpoint:
+            logger.log(f"loading model from checkpoint: {self.resume_checkpoint}...")
+            data = ckpt_lib.load_checkpoint(self.resume_checkpoint)
+            self.step = data["step"]
+            self.params = jax.tree_util.tree_map(jnp.asarray, data["state_dict"])
+            return
+        sample = np.asarray(self.valid_init_batch())
+        B = sample.shape[0]
+        x = jnp.asarray(sample[:1, : self.max_frames])
+        masks = jnp.zeros((1, x.shape[1], 1, 1, 1))
+        fi = jnp.arange(x.shape[1])[None]
+        t = jnp.zeros((1,), dtype=jnp.int32)
+        init_rng, self.jrng = jax.random.split(self.jrng)
+        variables = self.model.init(
+            {"params": init_rng},
+            x,
+            self.diffusion.scale_timesteps(t),
+            x0=x,
+            obs_mask=masks,
+            latent_mask=1 - masks,
+            kinda_marg_mask=masks,
+            frame_indices=fi,
+            observed_frames="x_0",
+        )
+        self.params = variables["params"]
+
+    def valid_init_batch(self):
+        with RNG(12):
+            return next(self.data)[0]
+
+    def _load_opt_and_ema(self, opt_state, ema_params):
+        main = self.resume_checkpoint
+        postfix = "latest" if self._args.save_latest_only else f"{self.step:06d}"
+        opt_path = os.path.join(os.path.dirname(main), f"opt_{postfix}.pt")
+        if os.path.exists(opt_path):
+            logger.log(f"loading optimizer state from checkpoint: {opt_path}")
+            loaded = ckpt_lib.load_opt_state(opt_path)
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, x: jnp.asarray(x).astype(ref.dtype)
+                if hasattr(ref, "dtype")
+                else x,
+                opt_state,
+                loaded,
+            )
+        else:
+            raise FileNotFoundError(f"Failed to find optimizer checkpoint {opt_path}")
+        new_ema = []
+        for rate in self.ema_rate:
+            path = ckpt_lib.find_ema_checkpoint(
+                main, self.step, rate, self._args.save_latest_only
+            )
+            if path is None:
+                raise FileNotFoundError(
+                    f"Failed to find EMA checkpoint for rate {rate}"
+                )
+            logger.log(f"loading EMA from checkpoint: {path}...")
+            new_ema.append(
+                jax.tree_util.tree_map(
+                    jnp.asarray, ckpt_lib.load_checkpoint(path)["state_dict"]
+                )
+            )
+        return opt_state, tuple(new_ema)
+
+    # ------------------------------------------------------------------ #
+    def _next_train_batch(self):
+        """Draw data, sample masks host-side, build the device batch dict."""
+        batch1 = np.asarray(next(self.data)[0])
+        batch2 = (
+            np.asarray(next(self.data)[0]) if self.pad_with_random_frames else None
+        )
+        x, frame_indices, obs, latent, marg = self.mask_sampler.sample_all_masks(
+            self.rng, batch1, batch2
+        )
+        t, weights = self.schedule_sampler.sample(x.shape[0], self.rng)
+        batch = {
+            "x": x.astype(np.float32),
+            "frame_indices": frame_indices,
+            "obs_mask": obs,
+            "latent_mask": latent,
+            "kinda_marg_mask": marg,
+            "t": t,
+            "weights": weights,
+        }
+        return mesh_lib.shard_batch(batch, self.mesh), t
+
+    def run_step(self):
+        batch, t_host = self._next_train_batch()
+        self.jrng, step_rng = jax.random.split(self.jrng)
+        self.state, metrics = self._train_step(self.state, batch, step_rng)
+        self._log_metrics(metrics, t_host)
+        self.step += 1
+
+    def run_loop(self):
+        last_sample_time = time.time()
+        while not self.lr_anneal_steps or self.step < self.lr_anneal_steps:
+            if self.step >= self.iterations:
+                break
+            t_0 = time.time()
+            self.run_step()
+            logger.logkv("timing/step_time", time.time() - t_0)
+            if self.step % self.log_interval == 0:
+                logger.dumpkvs()
+            if self.step % self.save_interval == 0:
+                self.save()
+                if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                    return
+            if (
+                self.sample_interval is not None
+                and self.step != 0
+                and (self.step % self.sample_interval == 0 or self.step == 5)
+            ):
+                self.log_samples()
+                logger.logkv(
+                    "timing/time_between_samples", time.time() - last_sample_time
+                )
+                last_sample_time = time.time()
+        if (self.step - 1) % self.save_interval != 0:
+            self.save()
+
+    # ------------------------------------------------------------------ #
+    def _log_metrics(self, metrics, t_host):
+        metrics = jax.device_get(metrics)
+        logger.logkv("step", self.step)
+        lr = make_lr_schedule(self.lr, self.iterations, self.lr_anneal_steps)(
+            self.step
+        )
+        logger.logkv("lr", float(lr))
+        logger.logkv("samples", (self.step + 1) * self.global_batch)
+        logger.logkv_mean("grad_norm", float(metrics.pop("grad_norm")))
+        skipped = metrics.pop("skipped")
+        if bool(np.asarray(skipped).any()):
+            logger.log("Found non-finite grads; skipped optimizer step")
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_local_losses(
+                t_host, np.asarray(metrics["loss"])
+            )
+        # per-quartile loss logging (reference train_util.py:956-963)
+        for key, values in metrics.items():
+            values = np.asarray(values)
+            logger.logkv_mean(key, float(values.mean()))
+            for sub_t, sub_loss in zip(np.asarray(t_host), values):
+                quartile = int(4 * sub_t / self.diffusion.num_timesteps)
+                logger.logkv_mean(f"{key}_q{quartile}", float(sub_loss))
+
+    # ------------------------------------------------------------------ #
+    def save(self):
+        if jax.process_index() == 0:
+            logdir = ckpt_lib.get_blob_logdir(self._run_id())
+            ckpt_lib.save_checkpoint(
+                logdir,
+                params=jax.device_get(self.state.params),
+                ema_params=[jax.device_get(e) for e in self.state.ema_params],
+                ema_rates=self.ema_rate,
+                opt_state=jax.device_get(self.state.opt_state),
+                config=self._args.__dict__,
+                step=self.step,
+                save_latest_only=self._args.save_latest_only,
+            )
+            logger.log(f"saved checkpoint at step {self.step} to {logdir}")
+
+    def _run_id(self):
+        rid = getattr(self._args, "resume_id", "")
+        if rid:
+            return rid
+        wid = getattr(self._args, "_run_id", None)
+        if wid is None:
+            wid = os.environ.get("VDT_RUN_ID", time.strftime("run-%Y%m%d-%H%M%S"))
+            self._args._run_id = wid
+        return wid
+
+    # ------------------------------------------------------------------ #
+    def log_samples(self):
+        """In-training sampling with EMA params and preset 'interesting'
+        masks; logs rmse (reference train_util.py:632-756, trimmed: media
+        sinks are handled by the logger when wandb is present)."""
+        with RNG(0):
+            sample_start = time.time()
+            orig_batch = np.concatenate(self.valid_batches, axis=0)
+            set_masks = make_interesting_masks(
+                orig_batch.shape, self.max_frames, self.n_interesting_masks
+            )
+            rng = np.random.default_rng(0)
+            x, fi, obs, latent, marg = self.mask_sampler.sample_all_masks(
+                rng, orig_batch, None, set_masks=set_masks
+            )
+            x = jnp.asarray(x)
+            ema = self.state.ema_params[0]
+            model_fn = make_video_model_fn(
+                self.model,
+                {"params": ema},
+                self.diffusion,
+                x0=x,
+                obs_mask=jnp.asarray(obs),
+                latent_mask=jnp.asarray(latent),
+                kinda_marg_mask=jnp.asarray(marg),
+                frame_indices=jnp.asarray(fi),
+                observed_frames=self.observed_frames,
+            )
+            self.jrng, srng = jax.random.split(self.jrng)
+            sample = jax.jit(
+                lambda r: self.diffusion.p_sample_loop(
+                    model_fn, x.shape, r, init=None
+                )
+            )(srng)
+            sample = np.asarray(sample)
+            error = np.asarray(latent) * (sample - np.asarray(x))
+            rmse = float(
+                np.sqrt((error**2).mean() / np.asarray(latent).mean())
+            )
+            logger.logkv("rmse", rmse)
+            logger.logkv("timing/sampling_time", time.time() - sample_start)
+            logger.log(f"sampling complete, rmse={rmse:.4f}")
