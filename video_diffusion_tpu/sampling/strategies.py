@@ -1,0 +1,690 @@
+"""Long-video inference strategies: which frames to observe / generate at each
+inference step.
+
+Same iterator protocol and registry names as the reference
+(/root/reference/improved_diffusion/inference_util.py): iterating yields
+(obs_frame_indices, latent_frame_indices) lists per step; conditioned frames
+must already be generated; iteration stops when every frame of the video is
+done. Strategies are host-side pure python (cheap, stateful, sometimes
+recursive) — the device-facing form is the static index table compiled by
+sampling/sampler.py for non-adaptive modes.
+
+Adaptive variants pick observed frames per batch element greedily by max-min
+distance in pixel or LPIPS space over the already-generated content
+(inference_util.py:137-211); they stay host-in-the-loop per inference step.
+"""
+
+import numpy as np
+
+
+class InferenceStrategyBase:
+    """Base iterator (reference inference_util.py:34-134)."""
+
+    def __init__(
+        self,
+        video_length: int,
+        num_obs: int,
+        max_frames: int,
+        step_size: int,
+        optimal_schedule_path=None,
+    ):
+        self._video_length = video_length
+        self._max_frames = max_frames
+        self._num_obs = num_obs
+        self._done_frames = set(range(num_obs))
+        self._obs_frames = list(range(num_obs))
+        self._step_size = step_size
+        self.optimal_schedule = (
+            None
+            if optimal_schedule_path is None
+            else _load_optimal_schedule(optimal_schedule_path)
+        )
+        self._current_step = 0
+
+    def get_unconditional_indices(self):
+        return list(range(self._max_frames))
+
+    def __next__(self):
+        if self.is_done():
+            raise StopIteration
+        unconditional = False
+        if self._num_obs == 0 and self._current_step == 0:
+            # unconditional bootstrap: one all-latent window
+            obs_frame_indices = []
+            latent_frame_indices = self.get_unconditional_indices()
+            unconditional = True
+        else:
+            obs_frame_indices, latent_frame_indices = self.next_indices()
+            if self.optimal_schedule is not None:
+                if self._current_step not in self.optimal_schedule:
+                    print(
+                        f"WARNING: optimal observations for prediction step "
+                        f"#{self._current_step} not found in the saved schedule."
+                    )
+                    obs_frame_indices = []
+                else:
+                    obs_frame_indices = self.optimal_schedule[self._current_step]
+        assert isinstance(obs_frame_indices, list)
+        assert isinstance(latent_frame_indices, list)
+        for idx in obs_frame_indices:
+            assert idx in self._done_frames, (
+                f"Attempting to condition on frame {idx} while it is not "
+                f"generated yet.\nGenerated frames: {self._done_frames}\n"
+                f"Observing: {obs_frame_indices}\nGenerating: {latent_frame_indices}"
+            )
+        assert np.all(np.array(latent_frame_indices) < self._video_length)
+        self._done_frames.update(
+            idx for idx in latent_frame_indices if idx not in self._done_frames
+        )
+        if unconditional:
+            self._obs_frames = latent_frame_indices
+        self._current_step += 1
+        return obs_frame_indices, latent_frame_indices
+
+    def is_done(self):
+        return len(self._done_frames) >= self._video_length
+
+    def __iter__(self):
+        return self
+
+    def next_indices(self):
+        raise NotImplementedError
+
+    @property
+    def typename(self):
+        return type(self).__name__
+
+
+def _load_optimal_schedule(path):
+    """Load a step->obs-indices map saved by video_optimal_schedule.py. Accepts
+    our pickle format or a torch-saved .pt from the reference."""
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+class Autoregressive(InferenceStrategyBase):
+    """Condition on the most recent frames, predict the next step_size
+    (inference_util.py:232-245)."""
+
+    def next_indices(self):
+        if not self._done_frames:
+            return [], list(range(self._max_frames))
+        obs = sorted(self._done_frames)[-(self._max_frames - self._step_size):]
+        first = obs[-1] + 1
+        latent = list(range(first, min(first + self._step_size, self._video_length)))
+        return obs, latent
+
+
+class Independent(InferenceStrategyBase):
+    """Condition only on the originally-observed frames
+    (inference_util.py:248-259)."""
+
+    def next_indices(self):
+        obs = sorted(self._obs_frames)[-(self._max_frames - self._step_size):]
+        first = max(self._done_frames) + 1
+        latent = list(range(first, min(first + self._step_size, self._video_length)))
+        return obs, latent
+
+
+class ReallyIndependent(InferenceStrategyBase):
+    """Condition on nothing (inference_util.py:262-272)."""
+
+    def next_indices(self):
+        first = max(self._done_frames) + 1
+        latent = list(range(first, min(first + self._max_frames, self._video_length)))
+        return [], latent
+
+
+class ExpPast(InferenceStrategyBase):
+    """Observe frames at exponentially-growing distances into the past, then
+    fill with consecutive recent frames (inference_util.py:275-293)."""
+
+    def next_indices(self):
+        cur = max(self._done_frames) + 1
+        distances_past = 2 ** np.arange(int(np.log2(cur)))
+        obs = list(cur - distances_past)
+        latent = list(range(cur, cur + min(self._step_size, self._video_length)))
+        for i in range(1, cur + 1):
+            if len(obs) + len(latent) >= self._max_frames:
+                break
+            if cur - i not in obs:
+                obs.append(cur - i)
+        return obs, latent
+
+
+class MixedAutoregressiveIndependent(InferenceStrategyBase):
+    """Half the context from the recent past, half from the original
+    observations (inference_util.py:296-312)."""
+
+    def next_indices(self):
+        n_cond = self._max_frames - self._step_size
+        n_autoreg = n_cond // 2
+        cond = set(sorted(self._done_frames)[-n_autoreg:])
+        for i in sorted(self._obs_frames)[::-1]:
+            cond.add(i)
+            if len(cond) == n_cond:
+                break
+        obs = sorted(cond)
+        first = max(self._done_frames) + 1
+        latent = list(range(first, min(first + self._step_size, self._video_length)))
+        return obs, latent
+
+
+class HierarchyNLevel(InferenceStrategyBase):
+    """Coarse-to-fine N-level grid sampling with adaptive step-size backoff
+    (inference_util.py:315-422)."""
+
+    N = None  # subclassed
+
+    def get_unconditional_indices(self):
+        self.current_level = 1
+        self.last_sampled_idx = self._video_length - 1
+        return [int(i) for i in np.linspace(0, self._video_length - 1, self._max_frames)]
+
+    @property
+    def sample_every(self):
+        level_1 = (self._video_length - len(self._obs_frames)) / (self._step_size - 1)
+        return int(level_1 ** ((self.N - self.current_level) / (self.N - 1)))
+
+    def _select_latents(self):
+        """Pick the latent grid for this step; returns (latent_frame_indices)."""
+        n_to_sample = self._step_size
+        idx = self.last_sampled_idx + self.sample_every
+        if not any(
+            i not in self._done_frames for i in range(idx, self._video_length)
+        ):
+            self.current_level += 1
+            self.last_sampled_idx = 0
+            idx = (
+                min(i for i in range(self._video_length) if i not in self._done_frames)
+                - 1
+                + self.sample_every
+            )
+        if self.current_level == 1:
+            return [
+                int(i)
+                for i in np.linspace(
+                    max(self._obs_frames) + 1, self._video_length - 0.001, n_to_sample
+                )
+            ]
+        latent = []
+        while len(latent) < n_to_sample and idx < self._video_length:
+            if idx not in self._done_frames:
+                latent.append(idx)
+                idx += self.sample_every
+            else:
+                idx += 1
+        return latent
+
+    def next_indices(self):
+        if not self._done_frames:
+            self.current_level = 1
+            self.last_sampled_idx = self._video_length - 1
+            return [], [
+                int(i)
+                for i in np.linspace(0, self._video_length - 1, self._max_frames)
+            ]
+        if len(self._done_frames) == len(self._obs_frames):
+            self.current_level = 1
+            self.last_sampled_idx = max(self._obs_frames)
+
+        n_cond = self._max_frames - self._step_size
+        latent = self._select_latents()
+
+        # observe everything already generated between the latents
+        obs = [
+            i
+            for i in range(min(latent), max(latent))
+            if i in self._done_frames
+        ]
+        budget = n_cond - len(obs)
+        if budget < 2:
+            # shrink step size to guarantee conditioning before AND after
+            if self._step_size == 1:
+                raise Exception(
+                    "Cannot condition before and after even with step size of 1"
+                )
+            self._step_size -= 1
+            result = self.next_indices()
+            self._step_size += 1
+            return result
+
+        max_n_after = budget // 2
+        obs.extend(
+            [
+                i
+                for i in range(max(latent) + 1, self._video_length)
+                if i in self._done_frames
+            ][:max_n_after]
+        )
+        n_before = n_cond - len(obs)
+        if self.current_level == 1:
+            obs.extend(
+                list(
+                    np.linspace(0, max(self._obs_frames) + 0.999, n_before).astype(
+                        np.int32
+                    )
+                )
+            )
+        else:
+            obs.extend(
+                [
+                    i
+                    for i in range(min(latent) - 1, -1, -1)
+                    if i in self._done_frames
+                ][:n_before]
+            )
+        self.last_sampled_idx = max(latent)
+        return obs, latent
+
+    @property
+    def typename(self):
+        return f"{super().typename}-{self.N}"
+
+
+def get_hierarchy_n_level(n):
+    return type(f"Hierarchy{n}", (HierarchyNLevel,), {"N": n})
+
+
+class GoalDirectedHierarchyNLevel(HierarchyNLevel):
+    """Hierarchy with the last 5 frames pinned as goals
+    (inference_util.py:534-555)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        for i in range(1, 6):
+            self._obs_frames.append(self._video_length - i)
+            self._done_frames.add(self._video_length - i)
+
+    def next_indices(self):
+        for i in range(1, 6):
+            self._obs_frames.remove(self._video_length - i)
+            self._done_frames.remove(self._video_length - i)
+        self._video_length -= 5
+        self._max_frames -= 5
+        obs, latent = super().next_indices()
+        obs = obs + list(range(self._video_length, self._video_length + 5))
+        self._video_length += 5
+        self._max_frames += 5
+        for i in range(1, 6):
+            self._obs_frames.append(self._video_length - i)
+            self._done_frames.add(self._video_length - i)
+        return obs, latent
+
+
+def get_goal_directed_hierarchy_n_level(n):
+    return type(f"GoalDirectedHierarchy{n}", (GoalDirectedHierarchyNLevel,), {"N": n})
+
+
+class GoalDirectedAutoreg(InferenceStrategyBase):
+    """Autoregressive with the last 5 frames pinned (inference_util.py:565-582)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        for i in range(1, 6):
+            self._obs_frames.append(self._video_length - i)
+            self._done_frames.add(self._video_length - i)
+
+    def next_indices(self):
+        obs = sorted(self._done_frames)[-(self._max_frames - self._step_size):]
+        first = 0
+        while first in self._done_frames:
+            first += 1
+        latent = list(
+            range(first, min(first + self._step_size, self._video_length - 1))
+        )
+        return obs, latent
+
+
+class GoalDirectedMixed(InferenceStrategyBase):
+    """Mixed autoreg/independent with the final frame pinned
+    (inference_util.py:615-636)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._obs_frames.append(self._video_length - 1)
+        self._done_frames.add(self._video_length - 1)
+
+    def next_indices(self):
+        n_cond = self._max_frames - self._step_size
+        n_autoreg = n_cond // 2
+        cond = set(sorted(self._done_frames)[-n_autoreg:])
+        for i in sorted(self._obs_frames)[::-1]:
+            cond.add(i)
+            if len(cond) == n_cond:
+                break
+        obs = sorted(cond)
+        first = sorted(self._done_frames)[-2] + 1
+        latent = list(range(first, min(first + self._step_size, self._video_length)))
+        return obs, latent
+
+
+class BabyCondHoEtAlForVis(InferenceStrategyBase):
+    """Fixed schedule used for paper visualisations (inference_util.py:585-593)."""
+
+    def __iter__(self):
+        yield [3, 5, 7, 9], [11, 13, 15]
+        yield [9, 11, 13, 15], [17, 19, 21]
+        yield [15, 17, 19, 21], [23, 25, 27]
+        yield [9, 11, 13, 15], [10, 12, 14]
+        yield [15, 17, 19, 21], [16, 18, 20]
+        yield [21, 23, 25, 27], [22, 24, 26]
+        yield [23, 24, 25, 26, 27], [28, 29]
+
+
+class HoEtAlForVis(InferenceStrategyBase):
+    """Ho et al.-style schedule for visualisation (inference_util.py:596-612)."""
+
+    def next_indices(self):
+        if not self._done_frames:
+            return [], [
+                int(i) for i in np.linspace(0, 60, 16) if i < self._video_length
+            ]
+        start = min(i for i in range(64) if i not in self._done_frames)
+        frames = range(start - 1, start + 8)
+        obs = [i for i in frames if i in self._done_frames]
+        latent = [i for i in frames if i not in self._done_frames]
+        if 64 in latent:
+            latent.remove(64)
+            obs.append(55)
+        return obs, latent
+
+
+class GoogleFS4(InferenceStrategyBase):
+    """Frameskip-4 pass of the google-style cascade (inference_util.py:639-665)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self._max_frames == 16, (
+            f"For GoogleFS4 strategy, max_frames must be 16, got {self._max_frames}"
+        )
+
+    def next_indices(self):
+        obs = (
+            max(self._done_frames)
+            - np.arange(0, self._max_frames - self._step_size) * 4
+        )
+        obs = sorted(obs.tolist())
+        first = max(obs) + 4
+        latent = list(
+            range(first, min(first + self._step_size * 4, self._video_length), 4)
+        )
+        while (
+            len(obs) + len(latent) < self._max_frames or min(obs) // 4 == 0
+        ):
+            obs = [min(obs) - 4] + obs
+        return obs, latent
+
+    def is_done(self):
+        return self._video_length - max(self._done_frames) <= 4
+
+
+class GoogleFS1(InferenceStrategyBase):
+    """Frameskip-1 infill pass over a GoogleFS4 output
+    (inference_util.py:668-706)."""
+
+    def __init__(self, done_frames, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self._max_frames == 9, "For GoogleFS1, max_frames should be 9."
+        assert self._step_size == 6, "For GoogleFS1, step_size should be 6."
+        done_frames = sorted(done_frames)
+        fs4 = np.array(done_frames[done_frames.index(self._num_obs - 1):])
+        assert np.all(fs4 % 4 == fs4[0] % 4), (
+            f"done_frames should come from a GoogleFS4 model: {done_frames}"
+        )
+        assert max(done_frames) + 4 >= self._video_length
+        self._done_frames = set(done_frames)
+        self._obs_frames = list(self._done_frames)
+
+    def next_indices(self):
+        first = self._num_obs - 1 + self._current_step * 8
+        obs = list(range(first, min(first + 9, self._video_length), 4))
+        latent = list(range(obs[0] + 1, min(obs[0] + 8, self._video_length)))
+        if len(obs) >= 2:
+            latent.remove(obs[1])
+        for idx in obs:
+            assert idx not in latent
+        while len(obs) + len(latent) < 9:
+            obs += [min(min(latent), min(obs)) - 1]
+        return obs, latent
+
+
+class Google(InferenceStrategyBase):
+    """Two-phase frameskip-4 -> frameskip-1 cascade (inference_util.py:709-736).
+    ``_active_iterator`` tells two-model samplers which network to use."""
+
+    def __init__(self, video_length, num_obs, **kwargs):
+        super().__init__(
+            video_length=video_length, num_obs=num_obs, max_frames=16, step_size=8
+        )
+        self.base_schedule = GoogleFS4(
+            video_length=self._video_length,
+            num_obs=self._num_obs,
+            max_frames=self._max_frames,
+            step_size=self._step_size,
+        )
+        self._active_iterator = "fs4"
+
+    def next_indices(self):
+        if self._active_iterator == "fs4" and self.base_schedule.is_done():
+            self.base_schedule = GoogleFS1(
+                video_length=self._video_length,
+                num_obs=self._num_obs,
+                max_frames=9,
+                step_size=6,
+                done_frames=self.base_schedule._done_frames,
+            )
+            self._active_iterator = "fs1"
+        return next(self.base_schedule)
+
+
+class LikeGoogle(InferenceStrategyBase):
+    """Single-model approximation of the google cascade
+    (inference_util.py:739-776)."""
+
+    def next_indices(self):
+        div4 = list(range((len(self._obs_frames) - 1) % 4, self._video_length, 4))
+        todo4 = [i for i in div4 if i not in self._done_frames]
+        if todo4:
+            latent = sorted(todo4)[: self._step_size]
+            n_cond = self._max_frames - len(latent)
+            obs = sorted(i for i in div4 if i in self._done_frames)[-n_cond:]
+            return obs, latent
+        first_latent = [
+            i for i in range(self._video_length) if i not in self._done_frames
+        ][0]
+        obs = [first_latent - 1]
+        latent = []
+        while (
+            len(obs + latent) + 4 < self._max_frames
+            and max(obs + latent) < self._video_length - 1
+        ):
+            nxt = max(obs) + 1
+            latent.extend(
+                i for i in range(nxt, nxt + 3) if i < self._video_length
+            )
+            nxt_obs = max(latent) + 1
+            if nxt_obs < self._video_length:
+                obs.append(nxt_obs)
+        return obs, latent
+
+
+# --------------------------------------------------------------------- #
+# adaptive variants: per-batch-element observation selection
+# --------------------------------------------------------------------- #
+
+
+class AdaptiveInferenceStrategyBase(InferenceStrategyBase):
+    """Greedy max-min-distance observation selection per batch element in
+    'l2' (pixel) or 'lpips' embedding space (inference_util.py:137-211).
+
+    obs_frame_indices becomes a list of per-element lists.
+    """
+
+    def __init__(self, distance, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.distance = distance
+        self._embedder = None
+
+    def set_videos(self, videos):
+        """videos: (B, T, H, W, C) numpy in [-1, 1] (generated so far)."""
+        self.videos = np.asarray(videos)
+
+    def embed(self, indices):
+        if self.distance == "l2":
+            embs = [self.videos[:, i].reshape(len(self.videos), -1) for i in indices]
+        elif self.distance == "lpips":
+            from ..eval.lpips import LpipsEmbedder
+
+            if self._embedder is None:
+                self._embedder = LpipsEmbedder()
+            embs = [self._embedder(self.videos[:, i]) for i in indices]
+        else:
+            raise NotImplementedError(self.distance)
+        return np.stack(embs, axis=1)  # (B, n_candidates, D)
+
+    def select_obs_indices(self, possible_next_indices, n, always_selected=(0,)):
+        B = len(self.videos)
+        embs = self.embed(possible_next_indices)
+        batch_selected = []
+        for b in range(B):
+            min_dist = [np.inf] * len(possible_next_indices)
+            selected = [possible_next_indices[always_selected[0]]]
+            selected_embs = [embs[b, always_selected[0]]]
+            for i in range(1, n):
+                for f in range(len(min_dist)):
+                    d = float(((selected_embs[-1] - embs[b, f]) ** 2).sum())
+                    min_dist[f] = min(min_dist[f], d)
+                if i < len(always_selected):
+                    best = always_selected[i]
+                else:
+                    best = int(np.argmax(min_dist))
+                selected.append(possible_next_indices[best])
+                selected_embs.append(embs[b, best])
+            batch_selected.append(selected)
+        return batch_selected
+
+    def __next__(self):
+        if self._num_obs == 0 and self._current_step == 0:
+            obs, latent = super().__next__()
+            B = len(self.videos)
+            return [obs] * B, [latent] * B
+        if self.is_done():
+            raise StopIteration
+        obs, latent = self.next_indices()
+        assert isinstance(obs, list) and isinstance(latent, list)
+        for idx in np.array(obs).flatten():
+            assert idx in self._done_frames, (
+                f"Attempting to condition on frame {idx} before generating it."
+            )
+        assert np.all(np.array(latent) < self._video_length)
+        self._done_frames.update(
+            idx for idx in latent if idx not in self._done_frames
+        )
+        self._current_step += 1
+        return obs, [latent] * len(obs)
+
+
+class AdaptiveAutoregressive(AdaptiveInferenceStrategyBase):
+    """(inference_util.py:214-229)"""
+
+    def next_indices(self):
+        if not self._done_frames:
+            return [[]] * len(self.videos), list(range(self._max_frames))
+        first = max(self._done_frames) + 1
+        latent = list(range(first, min(first + self._step_size, self._video_length)))
+        candidates = sorted(self._done_frames)[::-1]
+        n_obs = self._max_frames - self._step_size
+        obs = self.select_obs_indices(candidates, n_obs)
+        return obs, latent
+
+
+class AdaptiveHierarchyNLevel(AdaptiveInferenceStrategyBase, HierarchyNLevel):
+    """Hierarchy latents + adaptive observation choice
+    (inference_util.py:425-517)."""
+
+    def next_indices(self):
+        if not self._done_frames:
+            self.current_level = 1
+            self.last_sampled_idx = self._video_length - 1
+            return [], [
+                int(i)
+                for i in np.linspace(0, self._video_length - 1, self._max_frames)
+            ]
+        if len(self._done_frames) == len(self._obs_frames):
+            self.current_level = 1
+            self.last_sampled_idx = max(self._obs_frames)
+
+        n_cond = self._max_frames - self._step_size
+        latent = self._select_latents()
+
+        obs = [
+            i for i in range(min(latent), max(latent)) if i in self._done_frames
+        ]
+        budget = n_cond - len(obs)
+        if budget < 2:
+            if self._step_size == 1:
+                raise Exception(
+                    "Cannot condition before and after even with step size of 1"
+                )
+            self._step_size -= 1
+            result = self.next_indices()
+            self._step_size += 1
+            return result
+
+        # closest two frames before + closest frame after the latents
+        i = min(latent)
+        while i not in self._done_frames:
+            i -= 1
+        obs.append(i)
+        i -= 1
+        while i not in self._done_frames:
+            i -= 1
+        obs.append(i)
+        i = max(latent)
+        while i not in self._done_frames and i < self._video_length:
+            i += 1
+        if i < self._video_length:
+            obs.append(i)
+
+        candidates = list(self._done_frames)
+        always = [candidates.index(i) for i in obs]
+        obs = self.select_obs_indices(
+            possible_next_indices=candidates, n=n_cond, always_selected=always
+        )
+        self.last_sampled_idx = max(latent)
+        return obs, latent
+
+
+def get_adaptive_hierarchy_n_level(n):
+    return type(f"AdaptiveHierarchy{n}", (AdaptiveHierarchyNLevel,), {"N": n})
+
+
+inference_strategies = {
+    "autoreg": Autoregressive,
+    "independent": Independent,
+    "really-independent": ReallyIndependent,
+    "exp-past": ExpPast,
+    "mixed-autoreg-independent": MixedAutoregressiveIndependent,
+    "hierarchy-2": get_hierarchy_n_level(2),
+    "hierarchy-3": get_hierarchy_n_level(3),
+    "hierarchy-4": get_hierarchy_n_level(4),
+    "hierarchy-5": get_hierarchy_n_level(5),
+    "adaptive-autoreg": AdaptiveAutoregressive,
+    "adaptive-hierarchy-2": get_adaptive_hierarchy_n_level(2),
+    "adaptive-hierarchy-3": get_adaptive_hierarchy_n_level(3),
+    "goal-directed-autoreg": GoalDirectedAutoreg,
+    "goal-directed-mixed": GoalDirectedMixed,
+    "goal-directed-hierarchy-2": get_goal_directed_hierarchy_n_level(2),
+    "ho-et-al-for-vis": HoEtAlForVis,
+    "baby-cond-ho-et-al-for-vis": BabyCondHoEtAlForVis,
+    "google": Google,
+    "like-google": LikeGoogle,
+}
