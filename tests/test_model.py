@@ -1,0 +1,190 @@
+"""Model behavior tests: shapes, conditioning splice semantics, RPE math,
+and the padding-isolation property the static-shape design relies on."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_diffusion_tpu.models.nn import frame_embedding, timestep_embedding
+from video_diffusion_tpu.models.wrappers import make_video_model_fn
+
+
+def test_timestep_embedding_closed_form():
+    emb = np.asarray(timestep_embedding(jnp.array([0.0, 1.0]), 8, max_period=100))
+    assert emb.shape == (2, 8)
+    np.testing.assert_allclose(emb[0], [1, 1, 1, 1, 0, 0, 0, 0], atol=1e-6)
+    freqs = np.exp(-np.log(100) * np.arange(4) / 4)
+    np.testing.assert_allclose(emb[1, :4], np.cos(freqs), atol=1e-6)
+    np.testing.assert_allclose(emb[1, 4:], np.sin(freqs), atol=1e-6)
+    # odd dim zero-padded
+    emb9 = np.asarray(timestep_embedding(jnp.array([1.0]), 9))
+    assert emb9.shape == (1, 9) and emb9[0, -1] == 0
+
+
+def test_frame_embedding_shape():
+    fi = jnp.arange(12).reshape(2, 6)
+    emb = frame_embedding(fi, 16, max_period=120)
+    assert emb.shape == (2, 6, 16)
+
+
+def test_rpe_bucket_ids_match_bruteforce():
+    """Bucketed iRPE ids equal the reference's piecewise formula
+    (unet.py:330-340), including torch negative-index wrapping."""
+    from video_diffusion_tpu.models.unet import RPE
+
+    alpha, beta, gamma = 8, 16, 32
+    rpe = RPE(channels=8, num_heads=2, use_rpe_net=False,
+              alpha=alpha, beta=beta, gamma=gamma)
+    d = np.arange(-300, 301)
+    got = np.asarray(rpe.get_bucket_ids(jnp.asarray(d.reshape(1, -1, 1))))[:, :, 0]
+
+    def ref_bucket(x):
+        if abs(x) <= alpha:
+            b = x
+        else:
+            coef = np.log(abs(x) / alpha) / np.log(gamma / alpha)
+            b = int(min(beta, alpha + coef * (beta - alpha))) * int(np.sign(x))
+        return int(b) % (2 * beta + 1)
+
+    expected = np.array([ref_bucket(x) for x in d])
+    np.testing.assert_array_equal(got[0], expected)
+    assert got.min() >= 0 and got.max() <= 2 * beta
+
+
+def test_rpenet_zero_init_gives_zero_bias():
+    from video_diffusion_tpu.models.unet import RPENet
+
+    net = RPENet(channels=8, num_heads=2)
+    temb = jnp.ones((2, 4, 16))
+    dist = jnp.arange(-2, 2).reshape(1, 4, 1) - jnp.zeros((1, 1, 4))
+    v = net.init(jax.random.PRNGKey(0), temb, dist)
+    out = net.apply(v, temb, dist)
+    assert out.shape == (2, 4, 4, 2, 4)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+@pytest.fixture(scope="module")
+def video_setup(tiny_video_model_and_diffusion, tiny_video_variables):
+    """Perturb all params away from init: zero-init output/proj layers make a
+    fresh model output exactly 0, which would hide conditioning effects."""
+    model, diffusion = tiny_video_model_and_diffusion
+    leaves, treedef = jax.tree_util.tree_flatten(tiny_video_variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [
+        p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, keys)
+    ]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+    return model, diffusion, variables
+
+
+def _inputs(B=1, F=5, key=0):
+    k = jax.random.PRNGKey(key)
+    x = jax.random.uniform(k, (B, F, 32, 32, 3), minval=-1, maxval=1)
+    e = (1, 1, 1)
+    obs = jnp.zeros((B, F, *e)).at[:, :2].set(1.0)
+    latent = jnp.zeros((B, F, *e)).at[:, 2:4].set(1.0)
+    marg = jnp.zeros((B, F, *e))
+    fi = jnp.broadcast_to(jnp.array([0, 3, 7, 12, 0])[None], (B, F))
+    t = jnp.full((B,), 43, dtype=jnp.int32)
+    return x, obs, latent, marg, fi, t
+
+
+def test_forward_shapes_and_finite(video_setup):
+    model, diffusion, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+    mf = make_video_model_fn(
+        model, variables, diffusion, x0=x, obs_mask=obs, latent_mask=latent,
+        kinda_marg_mask=marg, frame_indices=fi, observed_frames="x_0",
+    )
+    out = mf(x, t)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_padding_isolation(video_setup):
+    """Changing the CONTENT and FRAME INDEX of a padding slot (anything=0)
+    must not change real-frame outputs: this is what makes static max_frames
+    windows semantically equal to the reference's variable-length windows."""
+    model, diffusion, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+    # slot 4 is padding (no mask). Perturb its content and index.
+    x2 = x.at[:, 4].set(jax.random.normal(jax.random.PRNGKey(9), x[:, 4].shape))
+    fi2 = fi.at[:, 4].set(19)
+
+    def run(xx, ff):
+        mf = make_video_model_fn(
+            model, variables, diffusion, x0=xx, obs_mask=obs,
+            latent_mask=latent, kinda_marg_mask=marg, frame_indices=ff,
+            observed_frames="x_0",
+        )
+        return np.asarray(mf(xx, t))
+
+    out1 = run(x, fi)
+    out2 = run(x2, fi2)
+    np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=2e-5)
+
+
+def test_observed_content_is_used(video_setup):
+    """Changing x0 at an observed slot must change latent outputs (the model
+    is actually conditioning); changing x0 at a latent slot must not (the
+    splice only injects observed content)."""
+    model, diffusion, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+
+    def run(x0):
+        mf = make_video_model_fn(
+            model, variables, diffusion, x0=x0, obs_mask=obs,
+            latent_mask=latent, kinda_marg_mask=marg, frame_indices=fi,
+            observed_frames="x_0",
+        )
+        return np.asarray(mf(x, t))
+
+    base = run(x)
+    x0_obs = x.at[:, 0].add(0.5)
+    assert np.abs(run(x0_obs)[:, 2:4] - base[:, 2:4]).max() > 1e-6
+    x0_lat = x.at[:, 2].add(0.5)
+    np.testing.assert_allclose(run(x0_lat), base, atol=2e-5)
+
+
+def test_observed_frames_modes(video_setup):
+    """All observed_frames modes run and differ from each other."""
+    model, diffusion, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+    outs = {}
+    for mode in ["x_0", "x_t", "x_t_minus_1", "x_random", "hybrid_10"]:
+        mf = make_video_model_fn(
+            model, variables, diffusion, x0=x, obs_mask=obs,
+            latent_mask=latent, kinda_marg_mask=marg, frame_indices=fi,
+            observed_frames=mode, train=True,
+        )
+        cond = diffusion.make_conditioning_variants(
+            x, t, None, jax.random.PRNGKey(5), mode
+        )
+        outs[mode] = np.asarray(mf(x, t, cond=cond))
+        assert np.isfinite(outs[mode]).all()
+    assert np.abs(outs["x_0"] - outs["x_t"]).max() > 1e-7
+
+
+def test_image_model_forward():
+    import inspect
+
+    from video_diffusion_tpu.models import factory
+    from video_diffusion_tpu.models.wrappers import make_image_model_fn
+
+    defaults = factory.model_and_diffusion_defaults()
+    defaults.update(image_size=32, num_channels=32, num_res_blocks=1,
+                    num_heads=2, diffusion_steps=100)
+    sig = inspect.signature(factory.create_model_and_diffusion)
+    kwargs = {k: defaults[k] for k in sig.parameters if k in defaults}
+    model, diffusion = factory.create_model_and_diffusion(**kwargs)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.array([0, 50])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x[:, None], diffusion.scale_timesteps(t)
+    )
+    mf = make_image_model_fn(model, variables, diffusion)
+    out = mf(x, t)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,141 @@
+"""Property tests of every inference strategy: exactly the invariants the
+reference asserts at runtime (inference_util.py:104-120) plus termination and
+coverage."""
+
+import numpy as np
+import pytest
+
+from video_diffusion_tpu.sampling.strategies import inference_strategies
+from video_diffusion_tpu.sampling.sampler import compile_schedule
+
+NON_ADAPTIVE = [
+    k for k in inference_strategies
+    if "adaptive" not in k and "for-vis" not in k
+]
+
+
+def _make(mode, video_length=100, num_obs=36, max_frames=16, step_size=4):
+    kwargs = dict(
+        video_length=video_length,
+        num_obs=num_obs,
+        max_frames=max_frames,
+        step_size=step_size,
+    )
+    if mode == "google":
+        kwargs.pop("max_frames")
+        kwargs.pop("step_size")
+        kwargs["video_length"] = 100
+    if mode == "ho-et-al-for-vis":
+        kwargs["video_length"] = 64
+    return inference_strategies[mode](**kwargs)
+
+
+@pytest.mark.parametrize("mode", NON_ADAPTIVE)
+def test_strategy_invariants(mode):
+    s = _make(mode)
+    done = set(s._done_frames)  # goal-directed modes pin extra frames as done
+    n_steps = 0
+    for obs, latent in s:
+        n_steps += 1
+        assert n_steps < 1000, "strategy failed to terminate"
+        assert len(obs) + len(latent) <= s._max_frames
+        assert len(latent) > 0
+        for i in obs:
+            assert i in done, f"{mode}: conditioned on ungenerated frame {i}"
+        assert all(0 <= i < s._video_length for i in latent)
+        done.update(latent)
+    # full coverage (GoogleFS4's is_done stops within 4 frames of the end
+    # before the FS1 pass fills in; the combined 'google' covers everything)
+    assert len(done) >= s._video_length - (0 if mode != "google" else 0)
+    assert done == set(range(s._video_length))
+
+
+@pytest.mark.parametrize("mode", NON_ADAPTIVE)
+def test_strategy_unconditional_bootstrap(mode):
+    if mode in ("google", "ho-et-al-for-vis"):
+        pytest.skip("needs specific shapes / conditional start")
+    s = _make(mode, num_obs=0)
+    obs, latent = next(iter(s))
+    assert obs == []
+    assert len(latent) == s._max_frames
+
+
+def test_autoreg_shape():
+    s = inference_strategies["autoreg"](
+        video_length=20, num_obs=4, max_frames=6, step_size=2
+    )
+    steps = list(s)
+    assert steps[0] == ([0, 1, 2, 3], [4, 5])
+    assert steps[1] == ([2, 3, 4, 5], [6, 7])
+    assert steps[-1][1][-1] == 19
+
+
+def test_independent_uses_only_original_obs():
+    s = inference_strategies["independent"](
+        video_length=30, num_obs=4, max_frames=6, step_size=2
+    )
+    for obs, latent in s:
+        assert set(obs) <= {0, 1, 2, 3}
+
+
+def test_exp_past_distances():
+    s = inference_strategies["exp-past"](
+        video_length=64, num_obs=32, max_frames=8, step_size=1
+    )
+    obs, latent = next(iter(s))
+    assert latent == [32]
+    # exponential distances into the past present
+    assert 31 in obs and 30 in obs and 28 in obs and 24 in obs and 16 in obs
+
+
+def test_hierarchy_two_levels_coarse_then_fine():
+    s = inference_strategies["hierarchy-2"](
+        video_length=100, num_obs=10, max_frames=16, step_size=8
+    )
+    steps = list(s)
+    first_latents = steps[0][1]
+    # first step: coarse grid spanning the whole remaining video
+    assert max(first_latents) >= 95
+    assert min(first_latents) >= 10
+
+
+def test_google_cascade_phases():
+    s = inference_strategies["google"](video_length=100, num_obs=36)
+    phases = []
+    for obs, latent in s:
+        phases.append(s._active_iterator)
+        if s._active_iterator == "fs4":
+            assert all(i % 4 == latent[0] % 4 for i in latent)
+    assert "fs4" in phases and "fs1" in phases
+
+
+def test_optimal_schedule_override(tmp_path):
+    import pickle
+
+    sched = {0: [0, 2], 1: [1, 3]}
+    p = tmp_path / "optimal_schedule.pt"
+    with open(p, "wb") as f:
+        pickle.dump(sched, f)
+    s = inference_strategies["autoreg"](
+        video_length=12, num_obs=4, max_frames=6, step_size=2,
+        optimal_schedule_path=str(p),
+    )
+    steps = list(s)
+    assert steps[0][0] == [0, 2]
+    assert steps[1][0] == [1, 3]
+
+
+def test_compile_schedule_tables():
+    s = inference_strategies["autoreg"](
+        video_length=12, num_obs=2, max_frames=4, step_size=2
+    )
+    sched = compile_schedule(iter(s), max_frames=4, video_length=12)
+    assert sched.frame_indices.shape == (5, 4)
+    # step 0: obs [0,1], latent [2,3]
+    np.testing.assert_array_equal(sched.frame_indices[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(sched.obs_mask[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(sched.latent_mask[0], [0, 0, 1, 1])
+    np.testing.assert_array_equal(sched.scatter_indices[0], [12, 12, 2, 3])
+    # every frame is scattered exactly once
+    written = sched.scatter_indices[sched.scatter_indices < 12]
+    assert sorted(written.tolist()) == list(range(2, 12))

@@ -1,0 +1,173 @@
+"""Training-step and multi-device (8 virtual CPU chips) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_diffusion_tpu.parallel import mesh as mesh_lib
+from video_diffusion_tpu.training.train_loop import (
+    TrainState,
+    build_train_step,
+    make_lr_schedule,
+    make_optimizer,
+)
+
+
+def _make_batch(B, F=5, size=32, t_val=50):
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (B, F, size, size, 3), minval=-1, maxval=1)
+    e = (1, 1, 1)
+    obs = jnp.zeros((B, F, *e)).at[:, :2].set(1.0)
+    latent = jnp.zeros((B, F, *e)).at[:, 2:].set(1.0)
+    return {
+        "x": x,
+        "frame_indices": jnp.broadcast_to(jnp.arange(F)[None], (B, F)),
+        "obs_mask": obs,
+        "latent_mask": latent,
+        "kinda_marg_mask": jnp.zeros((B, F, *e)),
+        "t": jnp.full((B,), t_val, dtype=jnp.int32),
+        "weights": jnp.ones((B,)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_video_model_and_diffusion, tiny_video_variables):
+    model, diffusion = tiny_video_model_and_diffusion
+    params = tiny_video_variables["params"]
+    optimizer = make_optimizer(1e-4, 0.0, 1000)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=(jax.tree_util.tree_map(lambda p: p, params),),
+    )
+    return model, diffusion, optimizer, state
+
+
+def test_lr_schedule():
+    s = make_lr_schedule(1e-4, 1000)
+    assert float(s(0)) == pytest.approx(1e-4)
+    assert float(s(500)) == pytest.approx(5e-5)
+    assert float(s(999)) == pytest.approx(0.0, abs=1e-9)
+    s2 = make_lr_schedule(1e-4, 1000, lr_anneal_steps=100)
+    assert float(s2(50)) == pytest.approx(5e-5)
+
+
+def test_train_step_updates_params_and_ema(setup):
+    model, diffusion, optimizer, state = setup
+    step = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.5,), "x_t_minus_1", True, 1)
+    )
+    batch = _make_batch(2)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    loss = np.asarray(metrics["loss"])
+    assert loss.shape == (2,) and np.isfinite(loss).all()
+    # params changed
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # ema = 0.5 * old + 0.5 * new
+    for old, new, ema in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(new_state.ema_params[0]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ema), 0.5 * np.asarray(old) + 0.5 * np.asarray(new),
+            atol=1e-6,
+        )
+
+
+def test_grad_accum_matches_full_batch(setup):
+    """Gradient accumulation over microbatches must produce (nearly) the same
+    update as the full batch: same rng per-microbatch split differs, so test
+    with deterministic loss pieces by comparing loss magnitudes only."""
+    model, diffusion, optimizer, state = setup
+    batch = _make_batch(4)
+    step_full = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9,), "x_0", True, 1)
+    )
+    step_accum = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9,), "x_0", True, 2)
+    )
+    _, m_full = step_full(state, batch, jax.random.PRNGKey(3))
+    _, m_accum = step_accum(state, batch, jax.random.PRNGKey(3))
+    # same batch statistics: losses in the same ballpark, both finite
+    assert np.isfinite(np.asarray(m_accum["loss"])).all()
+    assert abs(
+        np.asarray(m_full["loss"]).mean() - np.asarray(m_accum["loss"]).mean()
+    ) < 0.5
+
+
+def test_multichip_data_parallel(setup):
+    """8 virtual devices: the same train step with the batch sharded over the
+    mesh must agree with the single-device step (same rngs => same numbers up
+    to reduction order)."""
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    model, diffusion, optimizer, state = setup
+    mesh = mesh_lib.make_mesh()
+    batch = _make_batch(8)
+    step = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9999,), "x_0", True, 1)
+    )
+    # single device
+    _, m_single = step(state, batch, jax.random.PRNGKey(5))
+    # sharded
+    state_sharded = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    batch_sharded = mesh_lib.shard_batch(batch, mesh)
+    new_state, m_sharded = step(state_sharded, batch_sharded, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(m_single["loss"]),
+        np.asarray(m_sharded["loss"]),
+        rtol=2e-3, atol=2e-4,
+    )
+    assert np.isfinite(np.asarray(m_sharded["grad_norm"]))
+    # updated params stay replicated & finite
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_nonfinite_grads_skip_update(setup):
+    model, diffusion, optimizer, state = setup
+    step = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9,), "x_0", True, 1)
+    )
+    batch = _make_batch(2)
+    batch["x"] = batch["x"].at[0, 0, 0, 0, 0].set(jnp.nan)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert bool(np.asarray(metrics["skipped"]))
+    for old, new in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    from video_diffusion_tpu.utils import checkpoint as ckpt_lib
+
+    model, diffusion, optimizer, state = setup
+    ckpt_lib.save_checkpoint(
+        tmp_path,
+        params=jax.device_get(state.params),
+        ema_params=[jax.device_get(state.ema_params[0])],
+        ema_rates=[0.9999],
+        opt_state=jax.device_get(state.opt_state),
+        config={"dataset": "synthetic", "T": 20},
+        step=7,
+        save_latest_only=True,
+    )
+    assert (tmp_path / "model_latest.pt").exists()
+    assert (tmp_path / "ema_0.9999_latest.pt").exists()
+    assert (tmp_path / "opt_latest.pt").exists()
+    data = ckpt_lib.load_checkpoint(tmp_path / "model_latest.pt")
+    assert data["step"] == 7
+    assert data["config"]["dataset"] == "synthetic"
+    for a, b in zip(
+        jax.tree_util.tree_leaves(data["state_dict"]),
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)

@@ -27,6 +27,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .nn import GroupNorm32, frame_embedding, timestep_embedding, zero_init
@@ -189,7 +190,10 @@ class RPE(nn.Module):
         alpha, beta, gamma = float(self.alpha), float(self.beta), float(self.gamma)
         d = pairwise_distances.astype(jnp.float32)
         abs_d = jnp.abs(d)
-        coef = jnp.log(jnp.maximum(abs_d, 1e-9) / alpha) / jnp.log(gamma / alpha)
+        # guard gamma == alpha (e.g. the rp_* = T defaults): all far distances
+        # then land in the outermost bucket instead of NaN
+        denom = np.log(gamma / alpha) if gamma > alpha else np.inf
+        coef = jnp.log(jnp.maximum(abs_d, 1e-9) / alpha) / denom
         bucketed = jnp.trunc(
             jnp.minimum(beta, alpha + coef * (beta - alpha))
         ) * jnp.sign(d)
