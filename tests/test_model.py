@@ -103,27 +103,29 @@ def test_forward_shapes_and_finite(video_setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_padding_isolation(video_setup):
-    """Changing the CONTENT and FRAME INDEX of a padding slot (anything=0)
-    must not change real-frame outputs: this is what makes static max_frames
-    windows semantically equal to the reference's variable-length windows."""
-    model, diffusion, variables = video_setup
-    x, obs, latent, marg, fi, t = _inputs()
-    # slot 4 is padding (no mask). Perturb its content and index.
-    x2 = x.at[:, 4].set(jax.random.normal(jax.random.PRNGKey(9), x[:, 4].shape))
-    fi2 = fi.at[:, 4].set(19)
+def test_attention_mask_blocks_padding():
+    """Real-frame queries must put zero attention weight on masked (pad)
+    tokens, and pad content must not change real-token outputs of the
+    attention block itself (the reference mask semantics, unet.py:511-528).
+    Note: full-model isolation does NOT hold because the temporal pre-norm
+    pools statistics over the frame axis — which is why the samplers use
+    variable-width windows instead of padding (sampling/sampler.py)."""
+    from video_diffusion_tpu.models.unet import RPEAttention
 
-    def run(xx, ff):
-        mf = make_video_model_fn(
-            model, variables, diffusion, x0=xx, obs_mask=obs,
-            latent_mask=latent, kinda_marg_mask=marg, frame_indices=ff,
-            observed_frames="x_0",
-        )
-        return np.asarray(mf(xx, t))
-
-    out1 = run(x, fi)
-    out2 = run(x2, fi2)
-    np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=2e-5)
+    B, D, T, C = 1, 3, 5, 32
+    att = RPEAttention(channels=C, num_heads=2,
+                      allow_interactions_between_padding=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D, T, C))
+    am = jnp.array([[1.0, 1.0, 1.0, 1.0, 0.0]])  # slot 4 is padding
+    v = att.init(jax.random.PRNGKey(1), x, None, None, am)
+    # capture attention: run with sow
+    out1, state = att.apply(
+        v, x, None, None, am, capture_attn=True, mutable=["intermediates"]
+    )
+    attn = np.asarray(state["intermediates"]["attn"][0])  # (B, T, T)
+    np.testing.assert_allclose(attn[0, :4, 4], 0.0, atol=1e-7)
+    # pad row attends only to itself (pad<->pad group)
+    np.testing.assert_allclose(attn[0, 4, 4], 1.0, atol=1e-6)
 
 
 def test_observed_content_is_used(video_setup):

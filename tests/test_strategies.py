@@ -130,12 +130,35 @@ def test_compile_schedule_tables():
         video_length=12, num_obs=2, max_frames=4, step_size=2
     )
     sched = compile_schedule(iter(s), max_frames=4, video_length=12)
-    assert sched.frame_indices.shape == (5, 4)
+    assert sched.num_steps == 5
+    seg = sched.segments[0]
     # step 0: obs [0,1], latent [2,3]
-    np.testing.assert_array_equal(sched.frame_indices[0], [0, 1, 2, 3])
-    np.testing.assert_array_equal(sched.obs_mask[0], [1, 1, 0, 0])
-    np.testing.assert_array_equal(sched.latent_mask[0], [0, 0, 1, 1])
-    np.testing.assert_array_equal(sched.scatter_indices[0], [12, 12, 2, 3])
-    # every frame is scattered exactly once
-    written = sched.scatter_indices[sched.scatter_indices < 12]
+    np.testing.assert_array_equal(seg.frame_indices[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(seg.obs_mask[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(seg.latent_mask[0], [0, 0, 1, 1])
+    np.testing.assert_array_equal(seg.scatter_indices[0], [12, 12, 2, 3])
+    # every frame is scattered exactly once across all segments
+    written = np.concatenate(
+        [g.scatter_indices[g.scatter_indices < 12] for g in sched.segments]
+    )
     assert sorted(written.tolist()) == list(range(2, 12))
+    # flat steps view matches the strategy replay
+    s2 = inference_strategies["autoreg"](
+        video_length=12, num_obs=2, max_frames=4, step_size=2
+    )
+    assert sched.steps == [(list(o), list(l)) for o, l in s2]
+
+
+def test_compile_schedule_segments_by_width():
+    """Windows of different widths land in separate segments (no padding)."""
+    s = inference_strategies["autoreg"](
+        video_length=13, num_obs=0, max_frames=5, step_size=2
+    )
+    sched = compile_schedule(iter(s), max_frames=5, video_length=13)
+    widths = [seg.frame_indices.shape[1] for seg in sched.segments]
+    # bootstrap window is 5 latents; steady state is 3 obs + 2 latent = 5;
+    # the very last step may be narrower
+    assert all(w <= 5 for w in widths)
+    for seg in sched.segments:
+        # within a segment the width is constant and every row is full
+        assert (seg.obs_mask + seg.latent_mask == 1).all()

@@ -2,26 +2,31 @@
 
 The reference drives every (inference-step × diffusion-timestep) pair as a
 synchronous GPU round trip from Python (video_sample.py:150-168). Here the
-whole rollout is ONE jitted computation:
+whole rollout runs on device:
 
 * a non-adaptive strategy is compiled into static index/mask tables
-  (``compile_schedule``) — (num_steps, max_frames) windows, padded with
-  dummy slots pointing at a scratch row of the samples buffer;
-* ``sample_video`` runs ``lax.scan`` over inference steps; each step gathers
-  its window from the device-resident samples buffer, runs an inner
-  ``lax.scan`` over diffusion timesteps, and scatters the generated latent
-  frames back. Zero host round trips, so TPU stays busy end to end;
-* adaptive (content-dependent) strategies use ``sample_window`` — one jitted
-  window computation driven by the host strategy loop, host-in-the-loop once
-  per inference step (not per diffusion step).
+  (``compile_schedule``). Windows vary in width between inference steps
+  (obs+latent counts change), so consecutive steps with the same window width
+  are grouped into a *segment*; each segment is one ``lax.scan`` over its
+  steps (with an inner scan over diffusion timesteps). A rollout is a handful
+  of sequential scans — typically 2 (the bootstrap window + the steady-state
+  window) — with zero host round trips in between.
+  NO window padding is used: padded slots would perturb the temporal
+  attention pre-norm statistics (which pool over the frame axis, reference
+  unet.py:471-475), so windows are exactly [obs..., latent...] like the
+  reference's inference path (video_sample.py:119-132);
+* adaptive (content-dependent) strategies use the host-in-the-loop
+  ``sample_video_adaptive`` — one jitted window computation per inference
+  step (not per diffusion step).
 
-Reference window semantics kept exactly: windows are laid out
-[obs..., latent...]; the inner loop starts from x0 (NOT fresh noise —
-video_sample.py:150); obs slots are respliced by the CondMarg model each step
-and only latent slots are scattered back (video_sample.py:184-189).
+Reference window semantics kept exactly: the inner loop starts from x0 (NOT
+fresh noise — video_sample.py:150); obs slots are respliced by the CondMarg
+model each step and only latent slots are scattered back
+(video_sample.py:184-189).
 """
 
 from dataclasses import dataclass
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,44 +36,76 @@ from ..models.wrappers import make_video_model_fn
 
 
 @dataclass(frozen=True)
-class Schedule:
-    """Static index/mask tables for a full rollout.
+class Segment:
+    """A run of consecutive inference steps sharing one window width F.
 
-    frame_indices[s, f]   — gather index into the samples buffer (T = scratch)
-    obs_mask[s, f]        — 1 where slot f of step s is an observed frame
+    frame_indices[s, f]   — gather index into the samples buffer
+    obs_mask[s, f]        — 1 where slot f of step s is observed
     latent_mask[s, f]     — 1 where slot f is generated this step
-    scatter_indices[s, f] — write index for slot f (T = discard)
+    scatter_indices[s, f] — write index for slot f (video_length = discard)
     """
 
     frame_indices: np.ndarray
     obs_mask: np.ndarray
     latent_mask: np.ndarray
     scatter_indices: np.ndarray
+
+
+@dataclass(frozen=True)
+class Schedule:
+    segments: Tuple[Segment, ...]
     video_length: int
     max_frames: int
 
     @property
     def num_steps(self):
-        return len(self.frame_indices)
+        return sum(len(s.frame_indices) for s in self.segments)
+
+    @property
+    def steps(self):
+        """Flat [(obs_indices, latent_indices)] view for inspection."""
+        out = []
+        for seg in self.segments:
+            for s in range(len(seg.frame_indices)):
+                obs = seg.frame_indices[s][seg.obs_mask[s] > 0].tolist()
+                lat = seg.frame_indices[s][seg.latent_mask[s] > 0].tolist()
+                out.append((obs, lat))
+        return out
 
 
 def compile_schedule(strategy_iter, max_frames, video_length) -> Schedule:
     """Run a (non-adaptive) strategy iterator to exhaustion and pack its steps
-    into static tables; every window is padded to exactly max_frames slots."""
+    into per-window-width segments of static tables."""
     steps = list(strategy_iter)
-    S, F, T = len(steps), max_frames, video_length
-    fidx = np.full((S, F), T, dtype=np.int32)  # default: scratch row
-    obs_m = np.zeros((S, F), dtype=np.float32)
-    lat_m = np.zeros((S, F), dtype=np.float32)
-    scat = np.full((S, F), T, dtype=np.int32)
-    for s, (obs, latent) in enumerate(steps):
-        window = list(obs) + list(latent)
-        assert len(window) <= F, (s, window)
-        fidx[s, : len(window)] = window
-        obs_m[s, : len(obs)] = 1.0
-        lat_m[s, len(obs) : len(window)] = 1.0
-        scat[s, len(obs) : len(window)] = latent
-    return Schedule(fidx, obs_m, lat_m, scat, video_length, max_frames)
+    T = video_length
+    segments: List[Segment] = []
+    run: List[tuple] = []
+
+    def flush():
+        if not run:
+            return
+        S, F = len(run), len(run[0][0]) + len(run[0][1])
+        fidx = np.zeros((S, F), dtype=np.int32)
+        obs_m = np.zeros((S, F), dtype=np.float32)
+        lat_m = np.zeros((S, F), dtype=np.float32)
+        scat = np.full((S, F), T, dtype=np.int32)
+        for s, (obs, latent) in enumerate(run):
+            window = list(obs) + list(latent)
+            fidx[s] = window
+            obs_m[s, : len(obs)] = 1.0
+            lat_m[s, len(obs):] = 1.0
+            scat[s, len(obs):] = latent
+        segments.append(Segment(fidx, obs_m, lat_m, scat))
+        run.clear()
+
+    for obs, latent in steps:
+        width = len(obs) + len(latent)
+        assert 0 < width <= max_frames, (obs, latent)
+        if run and width != len(run[0][0]) + len(run[0][1]):
+            flush()
+        run.append((list(obs), list(latent)))
+    flush()
+    return Schedule(tuple(segments), video_length, max_frames)
 
 
 def _window_model_fn(
@@ -141,6 +178,15 @@ def _denoise_window(
     return x
 
 
+def _bcast_masks(obs_m, lat_m, fidx, B):
+    e = (1, 1, 1)
+    F = obs_m.shape[-1]
+    obs_mask = jnp.broadcast_to(obs_m.reshape(1, F, *e), (B, F, *e))
+    latent_mask = jnp.broadcast_to(lat_m.reshape(1, F, *e), (B, F, *e))
+    frame_indices = jnp.broadcast_to(fidx[None], (B, F))
+    return obs_mask, latent_mask, frame_indices
+
+
 def sample_video(
     model,
     variables,
@@ -155,7 +201,8 @@ def sample_video(
     use_gradient_method=False,
     goal_directed=False,
 ):
-    """Fully-jitted rollout over a compiled schedule.
+    """Rollout over a compiled schedule: one lax.scan per segment, all on
+    device.
 
     :param batch: (B, T, H, W, C) ground-truth videos in [-1, 1] (only the
         observed prefix — and frame T-5 for goal-directed modes — is used).
@@ -169,37 +216,149 @@ def sample_video(
         # reference fills only frame -5 with ground truth (video_sample.py:72)
         samples = samples.at[:, T - 5].set(batch[:, T - 5])
 
-    tables = (
-        jnp.asarray(schedule.frame_indices),
-        jnp.asarray(schedule.obs_mask),
-        jnp.asarray(schedule.latent_mask),
-        jnp.asarray(schedule.scatter_indices),
-    )
-
-    def outer(carry, step):
-        samples, rng = carry
-        fidx, obs_m, lat_m, scat = step
-        rng, wrng = jax.random.split(rng)
-        # keep the scratch row clean so padded window slots gather zeros
-        samples = samples.at[:, T].set(0.0)
-        x0 = jnp.take(samples, fidx, axis=1)  # (B, F, H, W, C)
-        e = (1, 1, 1)
-        F = schedule.max_frames
-        obs_mask = jnp.broadcast_to(obs_m.reshape(1, F, *e), (B, F, *e))
-        latent_mask = jnp.broadcast_to(lat_m.reshape(1, F, *e), (B, F, *e))
-        frame_indices = jnp.broadcast_to(fidx[None], (B, F))
-        local = _denoise_window(
-            model, variables, diffusion, x0, obs_mask, latent_mask,
-            frame_indices, wrng,
-            observed_frames=observed_frames,
-            clip_denoised=clip_denoised,
-            use_gradient_method=use_gradient_method,
+    for seg in schedule.segments:
+        tables = (
+            jnp.asarray(seg.frame_indices),
+            jnp.asarray(seg.obs_mask),
+            jnp.asarray(seg.latent_mask),
+            jnp.asarray(seg.scatter_indices),
         )
-        # scatter latent slots back; non-latent slots target the scratch row
-        samples = samples.at[:, scat].set(local)
+
+        def outer(carry, step):
+            samples, rng = carry
+            fidx, obs_m, lat_m, scat = step
+            rng, wrng = jax.random.split(rng)
+            x0 = jnp.take(samples, fidx, axis=1)  # (B, F, H, W, C)
+            obs_mask, latent_mask, frame_indices = _bcast_masks(
+                obs_m, lat_m, fidx, B
+            )
+            local = _denoise_window(
+                model, variables, diffusion, x0, obs_mask, latent_mask,
+                frame_indices, wrng,
+                observed_frames=observed_frames,
+                clip_denoised=clip_denoised,
+                use_gradient_method=use_gradient_method,
+            )
+            # scatter latent slots back; obs slots target the scratch row
+            samples = samples.at[:, scat].set(local)
+            return (samples, rng), None
+
+        (samples, rng), _ = jax.lax.scan(outer, (samples, rng), tables)
+    return samples[:, :T]
+
+
+def sample_video_horizontal(
+    model,
+    variables,
+    diffusion,
+    schedule: Schedule,
+    batch,
+    obs_length,
+    rng,
+    *,
+    vertical_steps=0,
+    observed_frames="x_0",
+    clip_denoised=True,
+    use_gradient_method=False,
+    goal_directed=False,
+):
+    """'Horizontal' sampling order (reference scripts/video_sample_full.py):
+    the outer loop runs over diffusion timesteps and the inner loop over the
+    full frame schedule, so every window stays at the same noise level; an
+    optional 'vertical' prefix runs the first ``vertical_steps`` timesteps in
+    the normal per-window order first."""
+    B, T = batch.shape[:2]
+    assert T == schedule.video_length
+    samples = jnp.zeros((B, T + 1) + batch.shape[2:], dtype=jnp.float32)
+    samples = samples.at[:, :obs_length].set(batch[:, :obs_length])
+    if goal_directed:
+        samples = samples.at[:, T - 5].set(batch[:, T - 5])
+
+    def seg_tables(seg):
+        return (
+            jnp.asarray(seg.frame_indices),
+            jnp.asarray(seg.obs_mask),
+            jnp.asarray(seg.latent_mask),
+            jnp.asarray(seg.scatter_indices),
+        )
+
+    # --- vertical prefix: per-window descent over the first K timesteps ---
+    if vertical_steps > 0:
+        ts_v = jnp.arange(
+            diffusion.num_timesteps - 1,
+            diffusion.num_timesteps - 1 - vertical_steps,
+            -1,
+        )
+        for seg in schedule.segments:
+
+            def v_outer(carry, step):
+                samples, rng = carry
+                fidx, obs_m, lat_m, scat = step
+                x0 = jnp.take(samples, fidx, axis=1)
+                obs_mask, latent_mask, frame_indices = _bcast_masks(
+                    obs_m, lat_m, fidx, B
+                )
+                model_fn = _window_model_fn(
+                    model, variables, diffusion, x0, obs_mask, latent_mask,
+                    frame_indices, observed_frames, use_gradient_method,
+                )
+
+                def v_inner(carry2, i):
+                    x, rng = carry2
+                    rng, srng = jax.random.split(rng)
+                    t = jnp.full((B,), i, dtype=jnp.int32)
+                    out = diffusion.p_sample(
+                        model_fn, x, t, srng, clip_denoised=clip_denoised
+                    )
+                    return (out["sample"], rng), None
+
+                rng, wrng = jax.random.split(rng)
+                (x, _), _ = jax.lax.scan(v_inner, (x0, wrng), ts_v)
+                samples = samples.at[:, scat].set(x)
+                return (samples, rng), None
+
+            (samples, rng), _ = jax.lax.scan(
+                v_outer, (samples, rng), seg_tables(seg)
+            )
+
+    # --- horizontal phase: all windows descend one timestep together ------
+    ts_h = jnp.arange(diffusion.num_timesteps - 1 - vertical_steps, -1, -1)
+
+    def h_outer(carry, t_scalar):
+        samples, rng = carry
+        for seg in schedule.segments:
+
+            def h_inner(carry2, step):
+                samples, rng = carry2
+                fidx, obs_m, lat_m, scat = step
+                rng, wrng = jax.random.split(rng)
+                x0 = jnp.take(samples, fidx, axis=1)
+                obs_mask, latent_mask, frame_indices = _bcast_masks(
+                    obs_m, lat_m, fidx, B
+                )
+                model_fn = _window_model_fn(
+                    model, variables, diffusion, x0, obs_mask, latent_mask,
+                    frame_indices, observed_frames, use_gradient_method,
+                )
+                t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+                if use_gradient_method:
+                    out = diffusion.p_sample_with_gradient_guidance(
+                        model_fn, x0, t, wrng, obs_mask=obs_mask,
+                        x_t_minus_1=x0, clip_denoised=clip_denoised,
+                    )
+                else:
+                    out = diffusion.p_sample(
+                        model_fn, x0, t, wrng, clip_denoised=clip_denoised
+                    )
+                samples = samples.at[:, scat].set(out["sample"])
+                return (samples, rng), None
+
+            (samples, rng), _ = jax.lax.scan(
+                h_inner, (samples, rng), seg_tables(seg)
+            )
         return (samples, rng), None
 
-    (samples, _), _ = jax.lax.scan(outer, (samples, rng), tables)
+    (samples, _), _ = jax.lax.scan(h_outer, (samples, rng), ts_h)
     return samples[:, :T]
 
 
@@ -218,10 +377,9 @@ def sample_video_adaptive(
     jit_window=True,
 ):
     """Host-in-the-loop rollout for adaptive strategies: the strategy inspects
-    generated content between inference steps; each window runs as one jitted
-    computation (shapes are constant, so it compiles once)."""
+    generated content between inference steps; each distinct window width
+    compiles once."""
     B, T = batch.shape[:2]
-    max_frames = strategy._max_frames
     samples = np.zeros((B, T) + batch.shape[2:], dtype=np.float32)
     samples[:, :obs_length] = np.asarray(batch[:, :obs_length])
 
@@ -245,34 +403,30 @@ def sample_video_adaptive(
             obs_idx, lat_idx = next(it)
         except StopIteration:
             break
-        # per-element windows (obs differs per batch element)
-        obs_idx = np.asarray(obs_idx)  # (B, n_obs) or (B, 0)
-        lat_idx = np.asarray(lat_idx)  # (B, n_lat)
+        obs_idx = np.asarray(obs_idx)  # (B, n_obs) or (n_obs,)
+        lat_idx = np.asarray(lat_idx)
         if obs_idx.ndim == 1:
             obs_idx = np.tile(obs_idx[None], (B, 1))
         if lat_idx.ndim == 1:
             lat_idx = np.tile(lat_idx[None], (B, 1))
         window = np.concatenate([obs_idx, lat_idx], axis=1).astype(np.int32)
-        n_obs, n = obs_idx.shape[1], window.shape[1]
-        F = max_frames
-        fidx = np.zeros((B, F), dtype=np.int32)
-        fidx[:, :n] = window
-        x0 = np.stack([samples[b, fidx[b]] for b in range(B)])
+        n_obs, F = obs_idx.shape[1], window.shape[1]
+        x0 = np.stack([samples[b, window[b]] for b in range(B)])
         e = (1, 1, 1)
         obs_mask = np.zeros((B, F, *e), dtype=np.float32)
         obs_mask[:, :n_obs] = 1.0
         latent_mask = np.zeros((B, F, *e), dtype=np.float32)
-        latent_mask[:, n_obs:n] = 1.0
+        latent_mask[:, n_obs:] = 1.0
         rng, wrng = jax.random.split(rng)
         local = np.asarray(
             window_fn(
                 jnp.asarray(x0),
                 jnp.asarray(obs_mask),
                 jnp.asarray(latent_mask),
-                jnp.asarray(fidx),
+                jnp.asarray(window),
                 wrng,
             )
         )
         for b in range(B):
-            samples[b, lat_idx[b]] = local[b, n_obs:n]
+            samples[b, lat_idx[b]] = local[b, n_obs:]
     return samples
