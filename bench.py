@@ -35,7 +35,10 @@ def main():
 
     import video_diffusion_tpu.utils  # noqa: F401  (compilation cache)
     from video_diffusion_tpu.models import factory
-    from video_diffusion_tpu.sampling import compile_schedule, sample_video
+    from video_diffusion_tpu.sampling import compile_schedule
+    from video_diffusion_tpu.sampling.sampler import (
+        sample_video_windows_parallel,
+    )
     from video_diffusion_tpu.sampling.strategies import inference_strategies
 
     T, size, max_frames, step_size, obs_length = 30, 64, 20, 7, 2
@@ -57,19 +60,22 @@ def main():
     rng = jax.random.PRNGKey(0)
     batch = jax.random.uniform(rng, (B, T, size, size, 3), minval=-1, maxval=1)
 
-    # init params
+    # init params (jitted: eager op dispatch is slow on this host)
     e = (1, 1, 1)
     F = max_frames
     x = batch[:1, :F]
     masks = jnp.zeros((1, F, *e))
     fi = jnp.broadcast_to(jnp.arange(F)[None], (1, F))
     t = jnp.zeros((1,), dtype=jnp.int32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(1)},
-        x, diffusion.scale_timesteps(t),
-        x0=x, obs_mask=masks, latent_mask=1 - masks, kinda_marg_mask=masks,
-        frame_indices=fi, observed_frames="x_0",
+    init = jax.jit(
+        lambda r: model.init(
+            {"params": r},
+            x, diffusion.scale_timesteps(t),
+            x0=x, obs_mask=masks, latent_mask=1 - masks, kinda_marg_mask=masks,
+            frame_indices=fi, observed_frames="x_0",
+        )
     )
+    variables = init(jax.random.PRNGKey(1))
 
     strategy = inference_strategies["independent"](
         video_length=T, num_obs=obs_length, max_frames=max_frames,
@@ -77,19 +83,24 @@ def main():
     )
     schedule = compile_schedule(iter(strategy), max_frames, T)
 
+    # 'independent' windows never condition on generated frames -> all
+    # windows denoise concurrently in one batched reverse process (the
+    # program also contains the model exactly once, which keeps the HLO
+    # small). Params cross the jit boundary as arguments — closure capture
+    # would embed them as constants and overflow the remote-compile tunnel.
     fn = jax.jit(
-        lambda b, r: sample_video(
-            model, variables, diffusion, schedule, b, obs_length, r
+        lambda v, b, r: sample_video_windows_parallel(
+            model, v, diffusion, schedule, b, obs_length, r
         )
     )
     # compile + warmup
-    out = fn(batch, jax.random.PRNGKey(2))
+    out = fn(variables, batch, jax.random.PRNGKey(2))
     out.block_until_ready()
 
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = fn(batch, jax.random.PRNGKey(3 + i))
+        out = fn(variables, batch, jax.random.PRNGKey(3 + i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 

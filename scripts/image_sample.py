@@ -44,7 +44,7 @@ def main():
     shape = (args.batch_size, args.image_size, args.image_size, 3)
 
     @jax.jit
-    def run(rng, y):
+    def run(variables, rng, y):
         model_fn = make_image_model_fn(
             model, variables, diffusion, y=y if args.class_cond else None
         )
@@ -63,7 +63,7 @@ def main():
             if args.class_cond
             else None
         )
-        sample = run(srng, y)
+        sample = run(variables, srng, y)
         sample = np.asarray((sample + 1) * 127.5)
         sample = np.clip(sample, 0, 255).astype(np.uint8)  # (B, H, W, C)
         all_images.append(sample)

@@ -65,7 +65,7 @@ def main():
     shape = (args.batch_size, args.large_size, args.large_size, 3)
 
     @jax.jit
-    def run(rng, low_res, y):
+    def run(variables, rng, low_res, y):
         model_fn = make_image_model_fn(
             model, variables, diffusion, y=y, low_res=low_res
         )
@@ -80,6 +80,7 @@ def main():
         model_kwargs = next(data)
         rng, srng = jax.random.split(rng)
         sample = run(
+            variables,
             srng,
             jnp.asarray(model_kwargs["low_res"]),
             jnp.asarray(model_kwargs["y"]) if args.class_cond else None,

@@ -60,18 +60,20 @@ def run_bpd_evaluation(
     fidx = np.zeros((B, F), dtype=np.int32)
     fidx[:, : len(window)] = window
 
-    x0 = jnp.asarray(x0)
-    model_fn = make_video_model_fn(
-        model, variables, diffusion,
-        x0=x0,
-        obs_mask=jnp.asarray(obs_mask),
-        latent_mask=jnp.asarray(latent_mask),
-        kinda_marg_mask=jnp.zeros_like(jnp.asarray(obs_mask)),
-        frame_indices=jnp.asarray(fidx),
-        observed_frames="x_0",
-    )
-    out = diffusion.calc_bpd_loop_subsampled(
-        model_fn, x0, rng, latent_mask=jnp.asarray(latent_mask), t_seq=t_seq
+    def bpd_fn(v, x0, om, lm, fi, r):
+        model_fn = make_video_model_fn(
+            model, v, diffusion,
+            x0=x0, obs_mask=om, latent_mask=lm,
+            kinda_marg_mask=jnp.zeros_like(om),
+            frame_indices=fi, observed_frames="x_0",
+        )
+        return diffusion.calc_bpd_loop_subsampled(
+            model_fn, x0, r, latent_mask=lm, t_seq=t_seq
+        )
+
+    out = jax.jit(bpd_fn)(
+        variables, jnp.asarray(x0), jnp.asarray(obs_mask),
+        jnp.asarray(latent_mask), jnp.asarray(fidx), rng,
     )
     return {k: np.asarray(v) for k, v in out.items()}
 

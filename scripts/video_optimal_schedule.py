@@ -54,16 +54,21 @@ def get_mse_for_candidates(
         lm[:, len(obs) : len(window)] = 1
         fi = np.zeros((B, F), dtype=np.int32)
         fi[:, : len(window)] = window
-        x0j = jnp.asarray(x0)
-        model_fn = make_video_model_fn(
-            model, variables, diffusion,
-            x0=x0j, obs_mask=jnp.asarray(om), latent_mask=jnp.asarray(lm),
-            kinda_marg_mask=jnp.zeros_like(jnp.asarray(om)),
-            frame_indices=jnp.asarray(fi), observed_frames="x_0",
-        )
+        def bpd_fn(v, x0j, omj, lmj, fij, r):
+            model_fn = make_video_model_fn(
+                model, v, diffusion,
+                x0=x0j, obs_mask=omj, latent_mask=lmj,
+                kinda_marg_mask=jnp.zeros_like(omj),
+                frame_indices=fij, observed_frames="x_0",
+            )
+            return diffusion.calc_bpd_loop_subsampled(
+                model_fn, x0j, r, latent_mask=lmj, t_seq=t_seq
+            )
+
         rng, r = jax.random.split(rng)
-        out = diffusion.calc_bpd_loop_subsampled(
-            model_fn, x0j, r, latent_mask=jnp.asarray(lm), t_seq=t_seq
+        out = jax.jit(bpd_fn)(
+            variables, jnp.asarray(x0), jnp.asarray(om), jnp.asarray(lm),
+            jnp.asarray(fi), r,
         )
         mses.append(float(np.asarray(out["mse"]).mean()))
     return np.array(mses)

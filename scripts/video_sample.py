@@ -33,7 +33,11 @@ from video_diffusion_tpu.sampling import (
     inference_strategies,
     sample_video,
 )
-from video_diffusion_tpu.sampling.sampler import sample_video_adaptive
+from video_diffusion_tpu.sampling.sampler import (
+    PARALLEL_WINDOW_STRATEGIES,
+    sample_video_adaptive,
+    sample_video_windows_parallel,
+)
 from video_diffusion_tpu.utils import eval_util
 from video_diffusion_tpu.utils.protect import Protect
 from video_diffusion_tpu.utils.script_util import str2bool
@@ -64,15 +68,31 @@ def infer_video(args, model, variables, diffusion, batch, rng,
             use_gradient_method=args.use_gradient_method,
         )
     schedule = compile_schedule(iter(strategy), args.max_frames, args.T)
-    fn = jax.jit(
-        lambda b, r: sample_video(
-            model, variables, diffusion, schedule, b, args.obs_length, r,
-            observed_frames=args.observed_frames,
-            use_gradient_method=args.use_gradient_method,
-            goal_directed="goal-directed" in args.inference_mode,
+    if (
+        args.inference_mode in PARALLEL_WINDOW_STRATEGIES
+        and not args.no_parallel_windows
+    ):
+        # windows never condition on generated frames -> denoise all windows
+        # in one batched reverse process (TPU-first; distributionally
+        # identical to the sequential order)
+        fn = jax.jit(
+            lambda v, b, r: sample_video_windows_parallel(
+                model, v, diffusion, schedule, b, args.obs_length, r,
+                observed_frames=args.observed_frames,
+                use_gradient_method=args.use_gradient_method,
+            )
         )
-    )
-    return np.asarray(fn(batch, rng))
+    else:
+        fn = jax.jit(
+            lambda v, b, r: sample_video(
+                model, v, diffusion, schedule, b, args.obs_length, r,
+                observed_frames=args.observed_frames,
+                use_gradient_method=args.use_gradient_method,
+                goal_directed="goal-directed" in args.inference_mode,
+            )
+        )
+    # params pass through the jit boundary as args (remote-compile size limit)
+    return np.asarray(fn(variables, batch, rng))
 
 
 def main(args, model, variables, diffusion, dataset, dataset_indices):
@@ -200,6 +220,10 @@ def create_argparser():
         "--observed_frames", type=str, default="x_0", choices=["x_0"]
     )
     parser.add_argument("--save_all_timesteps", action="store_true")
+    parser.add_argument(
+        "--no_parallel_windows", action="store_true",
+        help="force the sequential window order even for independent modes",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--use_bf16", type=str2bool, default=True)
     return parser

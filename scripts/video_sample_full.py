@@ -38,8 +38,8 @@ def main(args, model, variables, diffusion, dataset, dataset_indices):
     )
     schedule = compile_schedule(iter(strategy), args.max_frames, args.T)
     fn = jax.jit(
-        lambda b, r: sample_video_horizontal(
-            model, variables, diffusion, schedule, b, args.obs_length, r,
+        lambda v, b, r: sample_video_horizontal(
+            model, v, diffusion, schedule, b, args.obs_length, r,
             vertical_steps=args.vertical_steps,
             use_gradient_method=args.use_gradient_method,
             goal_directed="goal-directed" in args.inference_mode,
@@ -61,7 +61,7 @@ def main(args, model, variables, diffusion, dataset, dataset_indices):
                 continue
             batch = np.stack([np.asarray(dataset[i][0]) for i in sel])[:, : args.T]
             rng = jax.random.PRNGKey(hash((args.seed, cnt, sample_idx)) % (2**31))
-            recon = np.asarray(fn(batch, rng))
+            recon = np.asarray(fn(variables, batch, rng))
             recon = np.clip((recon + 1) / 2 * 255, 0, 255).astype(np.uint8)
             recon = np.moveaxis(recon, -1, 2)
             for i, p in enumerate(out_files):

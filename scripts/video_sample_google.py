@@ -36,10 +36,10 @@ def infer_video_google(args, models, diffusions, batch, rng):
     strategy = Google(video_length=T, num_obs=args.obs_length)
     window_fns = {}
     for phase, F in (("fs4", 16), ("fs1", 9)):
-        model, variables = models[phase]
+        model, _ = models[phase]
         diffusion = diffusions[phase]
         window_fns[phase] = jax.jit(
-            lambda x0, om, lm, fi, r, m=model, v=variables, d=diffusion:
+            lambda v, x0, om, lm, fi, r, m=model, d=diffusion:
             _denoise_window(m, v, d, x0, om, lm, fi, r)
         )
     it = iter(strategy)
@@ -63,6 +63,7 @@ def infer_video_google(args, models, diffusions, batch, rng):
         rng, wrng = jax.random.split(rng)
         local = np.asarray(
             window_fns[phase](
+                models[phase][1],
                 jnp.asarray(x0), jnp.asarray(om), jnp.asarray(lm),
                 jnp.asarray(fi), wrng,
             )

@@ -62,8 +62,8 @@ def main(args, model, variables, diffusion):
 
     sched_cond = make_schedule(args.obs_length)
     fn_cond = jax.jit(
-        lambda b, r: sample_video(
-            model, variables, diffusion, sched_cond, b, args.obs_length, r
+        lambda v, b, r: sample_video(
+            model, v, diffusion, sched_cond, b, args.obs_length, r
         )
     )
     shape = (args.batch_size, args.T, args.image_size, args.image_size, 3)
@@ -81,12 +81,12 @@ def main(args, model, variables, diffusion):
             if args.obs_length == 0:
                 sched0 = make_schedule(0)
                 fn0 = jax.jit(
-                    lambda b, r: sample_video(
-                        model, variables, diffusion, sched0, b, 0, r
+                    lambda v, b, r: sample_video(
+                        model, v, diffusion, sched0, b, 0, r
                     )
                 )
                 batch = np.zeros(shape, dtype=np.float32)
-                out = np.asarray(fn0(batch, rng))
+                out = np.asarray(fn0(variables, batch, rng))
             else:
                 dataset = get_test_dataset(
                     dataset_name=args.dataset, T=None, image_size=args.image_size
@@ -96,11 +96,11 @@ def main(args, model, variables, diffusion):
                 )
                 batch = np.zeros(shape, dtype=np.float32)
                 batch[:, : args.obs_length] = gt[:, : args.obs_length]
-                out = np.asarray(fn_cond(batch, rng))
+                out = np.asarray(fn_cond(variables, batch, rng))
         else:
             batch = np.zeros(shape, dtype=np.float32)
             batch[:, : args.obs_length] = prev_tail
-            out = np.asarray(fn_cond(batch, rng))
+            out = np.asarray(fn_cond(variables, batch, rng))
         prev_tail = out[:, -args.obs_length:] if args.obs_length else out[:, -1:]
         arr = np.clip((out + 1) / 2 * 255, 0, 255).astype(np.uint8)
         arr = np.moveaxis(arr, -1, 2)  # (B, T, C, H, W)

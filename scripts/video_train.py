@@ -79,7 +79,7 @@ def main():
     )
 
     logger.log("training...")
-    TrainLoop(
+    loop = TrainLoop(
         model=model,
         diffusion=diffusion,
         data=data,
@@ -107,7 +107,13 @@ def main():
         use_gradient_method=args.use_gradient_method,
         args=args,
         seed=args.seed,
-    ).run_loop()
+    )
+    if args.just_visualise:
+        loop.visualise()
+    elif args.just_save_masks:
+        loop.save_masks(n_masks=100)
+    else:
+        loop.run_loop()
 
 
 def create_argparser():

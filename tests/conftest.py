@@ -6,16 +6,25 @@ substitute for real TPU pods; see SURVEY.md §4 implication (d))."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Note: this environment's sitecustomize exports JAX_PLATFORMS=axon, which
+# clobbers the env-var route — force the CPU backend via the config API.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import video_diffusion_tpu.utils  # noqa: E402,F401  (compilation cache)
+
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -490,24 +490,26 @@ class TrainLoop:
                 rng, orig_batch, None, set_masks=set_masks
             )
             x = jnp.asarray(x)
-            ema = self.state.ema_params[0]
-            model_fn = make_video_model_fn(
-                self.model,
-                {"params": ema},
-                self.diffusion,
-                x0=x,
-                obs_mask=jnp.asarray(obs),
-                latent_mask=jnp.asarray(latent),
-                kinda_marg_mask=jnp.asarray(marg),
-                frame_indices=jnp.asarray(fi),
-                observed_frames=self.observed_frames,
-            )
-            self.jrng, srng = jax.random.split(self.jrng)
-            sample = jax.jit(
-                lambda r: self.diffusion.p_sample_loop(
-                    model_fn, x.shape, r, init=None
+
+            def sample_fn(ema, x, obs_m, lat_m, marg_m, fi_m, r):
+                model_fn = make_video_model_fn(
+                    self.model,
+                    {"params": ema},
+                    self.diffusion,
+                    x0=x,
+                    obs_mask=obs_m,
+                    latent_mask=lat_m,
+                    kinda_marg_mask=marg_m,
+                    frame_indices=fi_m,
+                    observed_frames=self.observed_frames,
                 )
-            )(srng)
+                return self.diffusion.p_sample_loop(model_fn, x.shape, r)
+
+            self.jrng, srng = jax.random.split(self.jrng)
+            sample = jax.jit(sample_fn)(
+                self.state.ema_params[0], x, jnp.asarray(obs),
+                jnp.asarray(latent), jnp.asarray(marg), jnp.asarray(fi), srng,
+            )
             sample = np.asarray(sample)
             error = np.asarray(latent) * (sample - np.asarray(x))
             rmse = float(
@@ -516,3 +518,85 @@ class TrainLoop:
             logger.logkv("rmse", rmse)
             logger.logkv("timing/sampling_time", time.time() - sample_start)
             logger.log(f"sampling complete, rmse={rmse:.4f}")
+
+    # ------------------------------------------------------------------ #
+    # visualisation / mask dumping (reference train_util.py:758-816)
+    # ------------------------------------------------------------------ #
+    def visualise(self, out_dir=None):
+        """Render mask draws + noisy inputs at several noise quartiles to PNG
+        (reference --just_visualise; wandb sinks replaced by files)."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        out_dir = out_dir or os.path.join(logger.get_dir() or ".", "visualise")
+        os.makedirs(out_dir, exist_ok=True)
+        batch = np.concatenate(self.valid_batches, axis=0)
+        rng = np.random.default_rng(0)
+        _, obs, latent, marg = self.mask_sampler.sample_all_masks(
+            rng, batch, gather=False
+        )
+        vis = np.ones_like(batch)
+        vis = np.where(obs == 1, batch, vis)
+        for quartile in [0, 1, 2, 3, 3.99]:
+            t = int(self.diffusion.num_timesteps * (quartile / 4))
+            key = jax.random.PRNGKey(int(quartile * 100))
+            noise = jax.random.normal(key, batch.shape)
+            xt = np.asarray(
+                self.diffusion.q_sample(
+                    jnp.asarray(batch), jnp.full((len(batch),), t), noise
+                )
+            )
+            v = np.where(latent == 1, xt, vis)
+            self._save_video_grid(
+                v, os.path.join(out_dir, f"inputs-q{quartile}.png")
+            )
+        # mask colour map: red = observed, green = latent
+        red = np.array([1.0, -1.0, -1.0]).reshape(1, 1, 1, 1, 3)
+        green = np.array([-1.0, 1.0, -1.0]).reshape(1, 1, 1, 1, 3)
+        m = np.ones_like(batch)
+        m = np.where(obs == 1, red * np.ones_like(batch), m)
+        m = np.where(latent == 1, green * np.ones_like(batch), m)
+        self._save_video_grid(m, os.path.join(out_dir, "mask.png"))
+        logger.log(f"wrote visualisations to {out_dir}")
+
+    @staticmethod
+    def _save_video_grid(videos, path, pad=1):
+        """(B, T, H, W, C) [-1,1] -> one PNG grid (videos as rows)."""
+        from PIL import Image
+
+        v = np.clip((videos + 1) * 127.5, 0, 255).astype(np.uint8)
+        B, T, H, W, C = v.shape
+        grid = np.full(
+            (B * (H + pad) - pad, T * (W + pad) - pad, C), 255, dtype=np.uint8
+        )
+        for b in range(B):
+            for t in range(T):
+                grid[b * (H + pad):b * (H + pad) + H,
+                     t * (W + pad):t * (W + pad) + W] = v[b, t]
+        Image.fromarray(grid).save(path)
+
+    def save_masks(self, n_masks):
+        """Dump mask index draws for video_nll (reference --just_save_masks;
+        pickle instead of torch.save, same (obs_list, lat_list) structure)."""
+        import pickle
+
+        batch = np.zeros((1, self.T, 4, 4, 3), dtype=np.float32)
+        obs_indices, lat_indices = [], []
+        for i in range(n_masks):
+            rng = np.random.default_rng(i)
+            _, obs, latent, _ = self.mask_sampler.sample_all_masks(
+                rng, batch, gather=False
+            )
+            for row_o, row_l in zip(
+                obs.reshape(len(obs), -1), latent.reshape(len(latent), -1)
+            ):
+                obs_indices.append([list(np.nonzero(row_o)[0])])
+                lat_indices.append([list(np.nonzero(row_l)[0])])
+        os.makedirs("samples/indices", exist_ok=True)
+        path = (
+            f"samples/indices/{self._args.mask_distribution}_"
+            f"{self._args.max_frames}_{self._args.T}_frame_indices.pt"
+        )
+        with open(path, "wb") as f:
+            pickle.dump((obs_indices, lat_indices), f)
+        logger.log(f"wrote {path}")
