@@ -45,13 +45,18 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps):
     o_ref[0] = (xn * jax.nn.sigmoid(xn)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "use_pallas"))
-def group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5, use_pallas=True):
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "use_pallas", "interpret")
+)
+def group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5, use_pallas=True,
+                    interpret=False):
     """Fused GroupNorm+SiLU.
 
     :param x: (N, ..., C) activation, stats over all non-batch axes per group.
+    :param interpret: run the kernel in the Pallas interpreter (CPU testing).
     """
-    if not use_pallas or jax.default_backend() not in ("tpu", "axon"):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not use_pallas or (not on_tpu and not interpret):
         return group_norm_silu_reference(x, scale, bias, num_groups, eps)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -72,5 +77,6 @@ def group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5, use_pallas=True):
         ],
         out_specs=pl.BlockSpec((1, S, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x3, scale.astype(jnp.float32), bias.astype(jnp.float32))
     return out.reshape(orig_shape)
