@@ -519,6 +519,66 @@ class TrainLoop:
             logger.logkv("timing/sampling_time", time.time() - sample_start)
             logger.log(f"sampling complete, rmse={rmse:.4f}")
 
+            # media: reassemble samples/errors at their true frame positions
+            # and log video grids (reference train_util.py:699-721)
+            from ..utils import media
+
+            x_np = np.asarray(x)
+            marked = x_np.copy()
+            media.mark_as_observed(marked)
+            vis = sample * np.asarray(latent) + marked * np.asarray(obs)
+            vis_all = np.zeros_like(orig_batch)
+            error_all = np.zeros_like(orig_batch)
+            for b in range(len(x_np)):
+                is_any = ((latent + obs)[b, :, 0, 0, 0] > 0)
+                idx = fi[b, is_any]
+                vis_all[b, idx] = vis[b, is_any]
+                lat_idx = fi[b, latent[b, :, 0, 0, 0] > 0]
+                error_all[b, lat_idx] = error[b, latent[b, :, 0, 0, 0] > 0]
+            media.gather_and_log_videos("sample/", vis_all, log_as="array")
+            media.gather_and_log_videos("error/", error_all, log_as="array")
+
+            # attention heatmaps from one mid-noise forward with capture
+            try:
+                t_mid = jnp.full(
+                    (x.shape[0],), self.diffusion.num_timesteps // 2,
+                    dtype=jnp.int32,
+                )
+                _, state = self.model.apply(
+                    {"params": self.state.ema_params[0]},
+                    x,
+                    self.diffusion.scale_timesteps(t_mid),
+                    x0=x,
+                    obs_mask=jnp.asarray(obs),
+                    latent_mask=jnp.asarray(latent),
+                    kinda_marg_mask=jnp.asarray(marg),
+                    frame_indices=jnp.asarray(fi),
+                    observed_frames="x_0",
+                    capture_attn=True,
+                    mutable=["intermediates"],
+                )
+                inter = state["intermediates"]
+                attns = {}
+
+                def collect(tree, path=""):
+                    if isinstance(tree, dict):
+                        for k, v in tree.items():
+                            collect(v, path + "/" + k)
+                    else:
+                        if "temporal" in path:
+                            attns.setdefault("attn/temporal", []).append(
+                                np.asarray(tree[0])
+                            )
+                collect(inter)
+                if attns:
+                    mean_attn = {
+                        k: np.mean(np.stack(v), axis=0)
+                        for k, v in attns.items()
+                    }
+                    media.log_attention_heatmaps(mean_attn, np.asarray(fi))
+            except Exception as e:  # attention viz is best-effort
+                logger.log(f"attention heatmap logging failed: {e}")
+
     # ------------------------------------------------------------------ #
     # visualisation / mask dumping (reference train_util.py:758-816)
     # ------------------------------------------------------------------ #
