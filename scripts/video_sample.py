@@ -37,6 +37,7 @@ from video_diffusion_tpu.sampling.sampler import (
     PARALLEL_WINDOW_STRATEGIES,
     sample_video_adaptive,
     sample_video_windows_parallel,
+    sample_video_with_trajectory,
 )
 from video_diffusion_tpu.utils import eval_util
 from video_diffusion_tpu.utils.protect import Protect
@@ -68,6 +69,13 @@ def infer_video(args, model, variables, diffusion, batch, rng,
             use_gradient_method=args.use_gradient_method,
         )
     schedule = compile_schedule(iter(strategy), args.max_frames, args.T)
+    if args.save_all_timesteps:
+        return sample_video_with_trajectory(
+            model, variables, diffusion, schedule, batch, args.obs_length, rng,
+            observed_frames=args.observed_frames,
+            use_gradient_method=args.use_gradient_method,
+            goal_directed="goal-directed" in args.inference_mode,
+        )
     if (
         args.inference_mode in PARALLEL_WINDOW_STRATEGIES
         and not args.no_parallel_windows
@@ -128,20 +136,50 @@ def main(args, model, variables, diffusion, dataset, dataset_indices):
             rng = jax.random.PRNGKey(
                 hash((args.seed, cnt, sample_idx)) % (2**31)
             )
-            recon = infer_video(
+            out = infer_video(
                 args, model, variables, diffusion, batch, rng,
                 optimal_schedule_path=optimal_schedule_path,
             )
+            recon, all_ts = out if args.save_all_timesteps else (out, None)
             # to uint8 (T, C, H, W) for byte-layout parity with the reference
-            recon = (recon + 1) / 2 * 255
-            recon = np.clip(recon, 0, 255).astype(np.uint8)
-            recon = np.moveaxis(recon, -1, 2)  # (B, T, C, H, W)
+            recon_u8 = np.clip((recon + 1) / 2 * 255, 0, 255).astype(np.uint8)
+            recon_u8 = np.moveaxis(recon_u8, -1, 2)  # (B, T, C, H, W)
             for i in range(batch_size):
                 if todo[i]:
-                    np.save(out_files[i], recon[i])
+                    np.save(out_files[i], recon_u8[i])
                     logger.info(f"*** Saved {out_files[i]} ***")
                 else:
                     logger.info(f"Skipped {out_files[i]}")
+            if args.save_all_timesteps:
+                # q_sample the gt at every timestep + per-timestep errors
+                # (reference video_sample.py:243-306)
+                import jax as _jax
+                import jax.numpy as jnp
+
+                K = diffusion.num_timesteps
+                qrng = _jax.random.PRNGKey(hash((args.seed, cnt, 1)) % (2**31))
+                q_all = []
+                for ts in range(K):
+                    qrng, r = _jax.random.split(qrng)
+                    noise = _jax.random.normal(r, batch.shape)
+                    tvec = jnp.full((batch_size,), ts, dtype=jnp.int32)
+                    q_all.append(np.asarray(
+                        diffusion.q_sample(jnp.asarray(batch), tvec, noise)
+                    ))
+                q_all = np.stack(q_all, axis=1)  # (B, K, T, H, W, C)
+                error = q_all - all_ts
+                all_u8 = np.clip((all_ts + 1) / 2 * 255, 0, 255).astype(np.uint8)
+                for i, vid in enumerate(sel):
+                    if not todo[i]:
+                        continue
+                    base = args.eval_dir / "samples"
+                    np.save(base / f"q_sample_{vid:04d}-{sample_idx}.npy",
+                            np.moveaxis(q_all[i], -1, 2))
+                    np.save(base / f"error_{vid:04d}-{sample_idx}.npy",
+                            np.moveaxis(error[i], -1, 2))
+                    np.save(base / f"all_timestep_sample_{vid:04d}-{sample_idx}.npy",
+                            np.moveaxis(all_u8[i], -1, 2))
+                    logger.info(f"*** Saved all-timestep arrays for {vid} ***")
         cnt += batch_size
 
 

@@ -89,7 +89,7 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, train: bool = False):
+    def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
@@ -469,7 +469,14 @@ class UNet(nn.Module):
         if not self.cross_frame_attention:
             temb_bt = emb.reshape(B * T, 1, -1)
 
-        resblock = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        # rematerialization: recompute block activations in the backward pass
+        # (the TPU counterpart of the reference's CheckpointFunction,
+        # nn.py:125-172). Bool args are static.
+        resblock = (
+            nn.remat(ResBlock, static_argnums=(3,))
+            if self.use_checkpoint
+            else ResBlock
+        )
         attnblock = (
             nn.remat(FactorizedAttentionBlock, static_argnums=(5,))
             if self.use_checkpoint
@@ -545,9 +552,9 @@ class UNet(nn.Module):
                 ds *= 2
 
         # --- middle --------------------------------------------------------
-        h = make_res(ch, "mid_res1")(h, emb, train=train)
+        h = make_res(ch, "mid_res1")(h, emb, train)
         h = apply_attn(make_attn(ch, "mid_attn"), h)
-        h = make_res(ch, "mid_res2")(h, emb, train=train)
+        h = make_res(ch, "mid_res2")(h, emb, train)
 
         # --- output blocks ---------------------------------------------------
         for level, mult in reversed(list(enumerate(self.channel_mult))):

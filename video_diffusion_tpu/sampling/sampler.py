@@ -493,3 +493,87 @@ def sample_video_windows_parallel(
             local.reshape((B, S * F) + batch.shape[2:])
         )
     return samples[:, :T]
+
+
+def _denoise_window_trajectory(
+    model, variables, diffusion, x0, obs_mask, latent_mask, frame_indices, rng,
+    *, observed_frames="x_0", clip_denoised=True, use_gradient_method=False,
+):
+    """Like _denoise_window but also returns the per-timestep window states
+    stacked as (K, B, F, H, W, C) — the --save_all_timesteps path
+    (reference video_sample.py:148-173)."""
+    B = x0.shape[0]
+    model_fn = _window_model_fn(
+        model, variables, diffusion, x0, obs_mask, latent_mask, frame_indices,
+        observed_frames, use_gradient_method,
+    )
+    ts = jnp.arange(diffusion.num_timesteps - 1, -1, -1)
+
+    def body(carry, i):
+        x, rng = carry
+        rng, srng = jax.random.split(rng)
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        if use_gradient_method:
+            out = diffusion.p_sample_with_gradient_guidance(
+                model_fn, x, t, srng, obs_mask=obs_mask, x_t_minus_1=x0,
+                clip_denoised=clip_denoised,
+            )
+        else:
+            out = diffusion.p_sample(model_fn, x, t, srng,
+                                     clip_denoised=clip_denoised)
+        return (out["sample"], rng), out["sample"]
+
+    (x, _), traj = jax.lax.scan(body, (x0, rng), ts)
+    return x, traj
+
+
+def sample_video_with_trajectory(
+    model, variables, diffusion, schedule: Schedule, batch, obs_length, rng,
+    *, observed_frames="x_0", clip_denoised=True, use_gradient_method=False,
+    goal_directed=False,
+):
+    """Host-loop rollout that records every timestep of every frame: returns
+    (samples (B,T,...), all_timestep_samples (B,K,T,...)). Cold path used by
+    --save_all_timesteps; one jit per window width."""
+    B, T = batch.shape[:2]
+    K = diffusion.num_timesteps
+    samples = np.zeros((B, T) + batch.shape[2:], dtype=np.float32)
+    samples[:, :obs_length] = np.asarray(batch[:, :obs_length])
+    all_ts = np.zeros((B, K, T) + batch.shape[2:], dtype=np.float32)
+    all_ts[:, :, :obs_length] = samples[:, None, :obs_length]
+    if goal_directed:
+        samples[:, T - 5] = np.asarray(batch[:, T - 5])
+
+    fns = {}
+
+    def get_fn(F):
+        if F not in fns:
+            fns[F] = jax.jit(
+                lambda v, x0, om, lm, fi, r: _denoise_window_trajectory(
+                    model, v, diffusion, x0, om, lm, fi, r,
+                    observed_frames=observed_frames,
+                    clip_denoised=clip_denoised,
+                    use_gradient_method=use_gradient_method,
+                )
+            )
+        return fns[F]
+
+    for obs_idx, lat_idx in schedule.steps:
+        window = list(obs_idx) + list(lat_idx)
+        F = len(window)
+        x0 = jnp.asarray(samples[:, window])
+        e = (1, 1, 1)
+        om = np.zeros((B, F, *e), dtype=np.float32)
+        om[:, : len(obs_idx)] = 1
+        lm = np.zeros((B, F, *e), dtype=np.float32)
+        lm[:, len(obs_idx):] = 1
+        fi = np.broadcast_to(np.asarray(window, np.int32)[None], (B, F))
+        rng, wrng = jax.random.split(rng)
+        x, traj = get_fn(F)(
+            variables, x0, jnp.asarray(om), jnp.asarray(lm), jnp.asarray(fi),
+            wrng,
+        )
+        x, traj = np.asarray(x), np.asarray(traj)  # traj (K, B, F, ...)
+        samples[:, lat_idx] = x[:, len(obs_idx):]
+        all_ts[:, :, lat_idx] = np.moveaxis(traj, 0, 1)[:, :, len(obs_idx):]
+    return samples, all_ts
