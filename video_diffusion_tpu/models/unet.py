@@ -443,6 +443,7 @@ class UNet(nn.Module):
         attn_mask=None,  # (B, T)
         train: bool = False,
         capture_attn: bool = False,
+        capture_features: bool = False,
     ):
         B, T, Hh, Ww, Cin = x.shape
         assert (y is not None) == (self.num_classes is not None)
@@ -516,6 +517,12 @@ class UNet(nn.Module):
         hs = []
         block_idx = 0
 
+        def sow_feature(stage, value):
+            # feature-vector capture (reference get_feature_vectors,
+            # unet.py:846-876): read back via mutable=['intermediates']
+            if capture_features:
+                self.sow("intermediates", f"features_{stage}", value)
+
         # --- input blocks -------------------------------------------------
         h = _conv(self.model_channels, 3, dtype=self.dtype, name="in_conv")(h)
         hs.append(h)
@@ -534,6 +541,7 @@ class UNet(nn.Module):
                 if ds in self.attention_resolutions:
                     h = apply_attn(make_attn(ch, f"down_{level}_{i}_attn"), h)
                 hs.append(h)
+                sow_feature("down", h)
                 block_idx += 1
                 if block_idx == n_before_attn:
                     h = self._add_positional_encodings(
@@ -555,6 +563,7 @@ class UNet(nn.Module):
         h = make_res(ch, "mid_res1")(h, emb, train)
         h = apply_attn(make_attn(ch, "mid_attn"), h)
         h = make_res(ch, "mid_res2")(h, emb, train)
+        sow_feature("middle", h)
 
         # --- output blocks ---------------------------------------------------
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -571,6 +580,7 @@ class UNet(nn.Module):
                         ch, self.conv_resample, dtype=self.dtype, name=f"up_{level}_us"
                     )(h)
                     ds //= 2
+                sow_feature("up", h)
 
         h = h.astype(jnp.float32)
         h = GroupNorm32(name="out_norm")(h)
@@ -621,7 +631,8 @@ class VideoUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, *, frame_indices=None, attn_mask=None,
-                 y=None, train=False, capture_attn=False, **_ignored):
+                 y=None, train=False, capture_attn=False,
+                 capture_features=False, **_ignored):
         B, T = x.shape[:2]
         if timesteps.ndim == 1:
             timesteps = jnp.broadcast_to(timesteps[:, None], (B, T))
@@ -633,6 +644,7 @@ class VideoUNet(nn.Module):
             attn_mask=attn_mask,
             train=train,
             capture_attn=capture_attn,
+            capture_features=capture_features,
         )
 
 
@@ -665,6 +677,7 @@ class CondMargVideoUNet(nn.Module):
         hybrid=None,
         train=False,
         capture_attn=False,
+        capture_features=False,
     ):
         B, T = x.shape[:2]
         cond_emb_type = self.cond_emb_type.replace("-initzero", "")
@@ -732,6 +745,7 @@ class CondMargVideoUNet(nn.Module):
             attn_mask=anything_mask.reshape(B, T),
             train=train,
             capture_attn=capture_attn,
+            capture_features=capture_features,
         )
 
 
