@@ -36,3 +36,78 @@ def test_group_norm_silu_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_fused_rpe_attention_parity_interpret():
+    """Fused attention kernel (interpret mode) vs the module's einsum path,
+    with RPENet bias + mask, on realistic small shapes."""
+    from video_diffusion_tpu.models.unet import RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 2, 8, 5, 64, 2
+    att = RPEAttention(
+        channels=C, num_heads=H, use_rpe_q=True, use_rpe_k=True,
+        use_rpe_v=True, use_rpe_net=True,
+        allow_interactions_between_padding=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D, T, C))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (B, T, 32))
+    fi = jnp.asarray(np.array([[0, 2, 5, 9, 14], [1, 2, 3, 4, 20]]))
+    am = jnp.asarray(np.array([[1, 1, 1, 1, 0], [1, 1, 1, 1, 1]], np.float32))
+    v = att.init(jax.random.PRNGKey(2), x, temb, fi, am)
+    # perturb zero-init params so the attention output is nontrivial
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    ref = att.apply(v, x, temb, fi, am)
+
+    p = v["params"]
+    # R tensors computed the same way the module does
+    pair = fi[:, :, None] - fi[:, None, :]
+    rpe = {}
+    for nm in ("rpe_k", "rpe_q", "rpe_v"):
+        sub = {"params": p[nm]}
+        from video_diffusion_tpu.models.unet import RPE
+
+        rpe[nm] = RPE(channels=C, num_heads=H, use_rpe_net=True).apply(
+            sub, pair, temb, method="get_R"
+        )
+    m = am
+    allowed = m[:, None, :] * m[:, :, None]
+    allowed = allowed + (1 - m[:, None, :]) * (1 - m[:, :, None])
+    mask_bias = jnp.where(allowed > 0, 0.0, -jnp.inf)
+    got = fused_rpe_attention(
+        x, p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"],
+        r_k=rpe["rpe_k"], r_q=rpe["rpe_q"], r_v=rpe["rpe_v"],
+        mask_bias=mask_bias, num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_attention_no_rpe_no_mask_parity():
+    from video_diffusion_tpu.models.unet import RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 1, 4, 16, 64, 4
+    att = RPEAttention(channels=C, num_heads=H)
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, D, T, C))
+    v = att.init(jax.random.PRNGKey(6), x)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    ref = att.apply(v, x)
+    p = v["params"]
+    got = fused_rpe_attention(
+        x, p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"], num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

@@ -7,6 +7,8 @@ so checkpoint-embedded configs round-trip identically. A ``use_bf16`` knob
 compute policy on TPU.
 """
 
+import os
+
 import jax.numpy as jnp
 
 from ..ops.diffusion import create_diffusion
@@ -181,6 +183,7 @@ def create_video_model(
         use_frame_encoding=use_frame_encoding,
         cross_frame_attention=cross_frame_attention,
         enforce_position_invariance=enforce_position_invariance,
+        use_pallas_attention=os.environ.get("VDT_PALLAS_ATTN", "") == "1",
         dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
     )
     if do_cond_marg:

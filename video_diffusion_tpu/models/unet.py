@@ -208,14 +208,14 @@ class RPE(nn.Module):
         return jnp.asarray(self.lookup_table_weight, self.dtype)[bucket_ids]
 
     def forward_qk(self, qk, pairwise_distances, temb):
-        # qk: (B, D, H, T, F); R: (B, T, T, H, F) -> bias (B, D, H, T, T)
+        # qk: (B, D, T, H, F); R: (B, T, T, H, F) -> bias (B, D, H, T, T)
         R = self.get_R(pairwise_distances, temb)
-        return jnp.einsum("bdhtf,btshf->bdhts", qk, R.astype(qk.dtype))
+        return jnp.einsum("bdthf,btshf->bdhts", qk, R.astype(qk.dtype))
 
     def forward_v(self, attn, pairwise_distances, temb):
-        # attn: (B, D, H, T, T) -> (B, D, H, T, F)
+        # attn: (B, D, H, T, T) -> (B, D, T, H, F)
         R = self.get_R(pairwise_distances, temb)
-        return jnp.einsum("bdhts,btshf->bdhtf", attn, R.astype(attn.dtype))
+        return jnp.einsum("bdhts,btshf->bdthf", attn, R.astype(attn.dtype))
 
     def __call__(self, x, pairwise_distances, temb, mode):
         if mode == "qk":
@@ -242,6 +242,7 @@ class RPEAttention(nn.Module):
     use_rpe_net: bool = False
     bucket_params: Optional[dict] = None
     allow_interactions_between_padding: bool = True
+    use_pallas: bool = False  # fused kernel (inference path only)
     dtype: jnp.dtype = jnp.float32
 
     def _make_rpe(self, name):
@@ -271,17 +272,13 @@ class RPEAttention(nn.Module):
         F = C // H
         scale = F**-0.5
 
-        # pre-norm pooling stats over (T, group-channels) per (b, d)
-        x = GroupNorm32(name="norm")(x.reshape(B * D, T, C)).reshape(B, D, T, C)
-
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, D, T, 3, H, F)
-        q, k, v = [
-            jnp.moveaxis(qkv[:, :, :, i], 2, 3) for i in range(3)
-        ]  # each (B, D, H, T, F)
-        q = q * scale
-
-        attn = jnp.einsum("bdhif,bdhjf->bdhij", q, k)
+        # raw params (shared by the einsum path and the fused Pallas kernel)
+        gn_scale = self.param("norm_scale", nn.initializers.ones_init(), (C,))
+        gn_bias = self.param("norm_bias", zero_init, (C,))
+        w_qkv = self.param("qkv_kernel", default_kernel_init, (C, 3 * C))
+        b_qkv = self.param("qkv_bias", zero_init, (3 * C,))
+        w_proj = self.param("proj_kernel", zero_init, (C, C))
+        b_proj = self.param("proj_bias", zero_init, (C,))
 
         use_any_rpe = self.use_rpe_q or self.use_rpe_k or self.use_rpe_v
         if use_any_rpe:
@@ -289,15 +286,8 @@ class RPEAttention(nn.Module):
             pairwise_distances = (
                 frame_indices[:, :, None] - frame_indices[:, None, :]
             )  # (B, T, T)
-        if self.use_rpe_k:
-            attn = attn + self._make_rpe("rpe_k")(q, pairwise_distances, temb, "qk")
-        if self.use_rpe_q:
-            attn = attn + jnp.swapaxes(
-                self._make_rpe("rpe_q")(k * scale, pairwise_distances, temb, "qk"),
-                -1,
-                -2,
-            )
 
+        mask_bias = None
         if attn_mask is not None:
             m = attn_mask.astype(jnp.float32)  # (B, T), 1 = real frame
             allowed = m[:, None, :] * m[:, :, None]
@@ -307,20 +297,67 @@ class RPEAttention(nn.Module):
                 eye = jnp.eye(T, dtype=allowed.dtype)
                 allowed = jnp.maximum(allowed, eye[None])
             neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
-            bias = jnp.where(allowed > 0, 0.0, neg_inf)  # (B, T, T)
-            attn = attn.astype(jnp.float32) + bias[:, None, None, :, :]
+            mask_bias = jnp.where(allowed > 0, 0.0, neg_inf)  # (B, T, T)
+
+        if self.use_pallas and not capture_attn and jax.default_backend() in (
+            "tpu", "axon",
+        ):
+            # fused kernel path (inference): the R tensors are shared across
+            # the pixel axis, so compute them once here and broadcast in
+            from ..ops.fused_attention import fused_rpe_attention
+
+            r_k = r_q = r_v = None
+            if use_any_rpe:
+                r_k = self._make_rpe("rpe_k").get_R(pairwise_distances, temb)
+                r_q = self._make_rpe("rpe_q").get_R(pairwise_distances, temb)
+                r_v = self._make_rpe("rpe_v").get_R(pairwise_distances, temb)
+            return fused_rpe_attention(
+                x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
+                r_k=r_k, r_q=r_q, r_v=r_v, mask_bias=mask_bias,
+                num_heads=H,
+            )
+
+        # ---- reference einsum path (differentiable) ---------------------- #
+        # pre-norm pooling stats over (T, group-channels) per (b, d)
+        xf = x.astype(jnp.float32).reshape(B, D, T, 32, C // 32)
+        mean = xf.mean(axis=(2, 4), keepdims=True)
+        var = xf.var(axis=(2, 4), keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(B, D, T, C)
+        x = (xn * gn_scale + gn_bias).astype(x.dtype)
+
+        # q/k/v stay in the (B, D, T, H, F) layout the qkv matmul produces —
+        # einsum subscripts absorb the head/token reordering so no transposed
+        # copies of the big activations ever hit HBM
+        xc = x.astype(self.dtype)
+        qkv = (
+            xc @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
+        ).reshape(B, D, T, 3, H, F)
+        q = qkv[:, :, :, 0] * scale
+        k = qkv[:, :, :, 1]
+        v = qkv[:, :, :, 2]
+
+        attn = jnp.einsum("bdihf,bdjhf->bdhij", q, k)
+
+        if self.use_rpe_k:
+            attn = attn + self._make_rpe("rpe_k")(q, pairwise_distances, temb, "qk")
+        if self.use_rpe_q:
+            attn = attn + jnp.swapaxes(
+                self._make_rpe("rpe_q")(k * scale, pairwise_distances, temb, "qk"),
+                -1,
+                -2,
+            )
+
+        if mask_bias is not None:
+            attn = attn.astype(jnp.float32) + mask_bias[:, None, None, :, :]
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
 
-        out = jnp.einsum("bdhij,bdhjf->bdhif", attn, v)
+        out = jnp.einsum("bdhij,bdjhf->bdihf", attn, v)
         if self.use_rpe_v:
             out = out + self._make_rpe("rpe_v")(attn, pairwise_distances, temb, "v")
 
-        out = jnp.moveaxis(out, 3, 2).reshape(B, D, T, C)
-        out = nn.Dense(
-            C, kernel_init=zero_init, bias_init=zero_init, dtype=self.dtype,
-            name="proj_out",
-        )(out)
+        out = out.reshape(B, D, T, C)
+        out = out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
         x = x + out
         if capture_attn:
             # mean over non-attended axis and heads, abs — what the reference
@@ -342,6 +379,7 @@ class FactorizedAttentionBlock(nn.Module):
     use_rpe_net: bool = False
     bucket_params: Optional[dict] = None
     allow_interactions_between_padding: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -366,6 +404,7 @@ class FactorizedAttentionBlock(nn.Module):
             use_rpe_net=self.use_rpe_net,
             bucket_params=self.bucket_params,
             allow_interactions_between_padding=self.allow_interactions_between_padding,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="temporal_attention",
         )(xt, temb=temb, frame_indices=frame_indices, attn_mask=attn_mask,
@@ -375,6 +414,7 @@ class FactorizedAttentionBlock(nn.Module):
         x = RPEAttention(
             channels=C,
             num_heads=self.num_heads,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="spatial_attention",
         )(x, capture_attn=capture_attn)
@@ -413,6 +453,7 @@ class UNet(nn.Module):
     cross_frame_attention: bool = True
     enforce_position_invariance: bool = False
     use_checkpoint: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _first_attn_position(self):
@@ -500,6 +541,7 @@ class UNet(nn.Module):
                 use_rpe_net=self.use_rpe_net,
                 bucket_params=self.bucket_params,
                 allow_interactions_between_padding=self.allow_interactions_between_padding,
+                use_pallas=self.use_pallas_attention,
                 dtype=self.dtype,
                 name=name,
             )
