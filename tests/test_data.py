@@ -1,0 +1,124 @@
+"""Dataset/loader tests: synthetic + bouncy-balls physics generator + batch
+loader + image folder + eval-dir naming + logger kv semantics."""
+
+import os
+import sys
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "datasets"))
+
+
+def test_synthetic_dataset_deterministic():
+    from video_diffusion_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(T=12, image_size=32, n_videos=4)
+    v1, _ = ds[0]
+    v2, _ = ds[0]
+    np.testing.assert_array_equal(v1, v2)
+    assert v1.shape == (12, 32, 32, 3)
+    assert -1 <= v1.min() and v1.max() <= 1
+    v3, _ = ds[1]
+    assert np.abs(v1 - v3).max() > 0.1
+
+
+def test_bouncy_balls_generator_and_loader(tmp_path):
+    import torch
+
+    from bouncy_balls import render, simulate
+    from video_diffusion_tpu.data.datasets import TensorVideoDataset
+
+    rng = np.random.default_rng(0)
+    videos = np.stack(
+        [render(simulate(rng, T=8, n_balls=2), res=32) for _ in range(3)]
+    )
+    assert videos.shape == (3, 8, 1, 32, 32)
+    assert 0 <= videos.min() and videos.max() <= 1
+    # energy sanity: balls keep moving (frames differ)
+    assert np.abs(videos[:, 0] - videos[:, -1]).max() > 0.1
+    path = tmp_path / "train.pt"
+    torch.save(torch.from_numpy(videos), path)
+    ds = TensorVideoDataset(str(path))
+    vid, _ = ds[0]
+    assert vid.shape == (8, 32, 32, 3)  # grayscale -> RGB, channels-last
+    assert -1 <= vid.min() and vid.max() <= 1
+    np.testing.assert_array_equal(vid[..., 0], vid[..., 1])
+
+
+def test_batch_loader_shapes():
+    from video_diffusion_tpu.data.datasets import SyntheticVideoDataset, _BatchLoader
+
+    ds = SyntheticVideoDataset(T=6, image_size=16, n_videos=10)
+    loader = _BatchLoader(ds, batch_size=4, seed=0)
+    batch, kwargs = next(loader)
+    assert batch.shape == (4, 6, 16, 16, 3)
+    assert kwargs == {}
+
+
+def test_image_dataset_and_class_labels(tmp_path):
+    from PIL import Image
+
+    from video_diffusion_tpu.data.datasets import load_data
+
+    for i, cls in enumerate(["cat", "dog", "cat", "dog"]):
+        arr = np.random.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{cls}_{i:03d}.png")
+    gen = load_data(
+        data_dir=str(tmp_path), batch_size=2, image_size=32, class_cond=True
+    )
+    batch, kwargs = next(gen)
+    assert batch.shape == (2, 32, 32, 3)
+    assert set(np.unique(kwargs["y"])) <= {0, 1}
+    assert -1 <= batch.min() and batch.max() <= 1
+
+
+def test_eval_dir_naming_contract():
+    """results/<ckpt_subpath>/<name>/<mode>_<max_frames>_<step>_<T>_<obs>
+    (reference test_util.py:65-132, README contract)."""
+    from video_diffusion_tpu.utils import eval_util
+
+    args = Namespace(
+        checkpoint_path="checkpoints/abc123/model_020000.pt",
+        eval_dir=None, use_ddim=False, timestep_respacing="",
+        inference_mode="autoreg", optimality=None, max_frames=20,
+        step_size=1, T=300, obs_length=36,
+    )
+    path = eval_util.get_model_results_path(args)
+    assert str(path) == "results/abc123/model_020000"
+    ident = eval_util.get_eval_run_identifier(args)
+    assert ident == "autoreg_20_1_300_36"
+    args.optimality = "linspace-t"
+    args.use_gradient_method = True
+    args.dataset_partition = "train"
+    ident = eval_util.get_eval_run_identifier(args)
+    assert ident == (
+        "gradientmethod_trainset_autoreg_optimal-linspace-t_20_1_300_36"
+    )
+    args2 = Namespace(
+        checkpoint_path="x/checkpoints/r1/ema_0.9999_010000.pt",
+        eval_dir=None, use_ddim=True, timestep_respacing="250",
+    )
+    assert str(eval_util.get_model_results_path(args2)) == (
+        "results/r1/ema_0.9999_010000_ddim_respace250"
+    )
+
+
+def test_logger_kv_semantics(tmp_path):
+    from video_diffusion_tpu.utils import logger
+
+    logger.configure(dir=str(tmp_path), format_strs=["csv", "json"])
+    logger.logkv("a", 1.0)
+    logger.logkv_mean("b", 2.0)
+    logger.logkv_mean("b", 4.0)
+    out = logger.dumpkvs()
+    assert out["a"] == 1.0 and out["b"] == 3.0
+    logger.logkv("c", 5.0)
+    logger.dumpkvs()
+    assert (tmp_path / "progress.csv").exists()
+    assert (tmp_path / "progress.json").exists()
+    with logger.profile_kv("myscope"):
+        pass
+    assert "wait_myscope" in logger.getkvs()
+    logger.reset()

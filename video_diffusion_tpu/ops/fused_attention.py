@@ -30,9 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pick_tile(D, T, C, budget_bytes=10 * 2**20):
-    """Largest divisor of D whose tile fits the VMEM budget."""
-    per_pixel = T * C * 4 * 6 + T * T * 4 * 2
+def _pick_tile(D, T, C, budget_bytes=24 * 2**20):
+    """Largest divisor of D whose tile fits the VMEM budget (empirical
+    accounting: ~12 f32 copies of the (T, C) pixel row live at once, plus
+    attention scratch, plus double-buffered in/out blocks)."""
+    per_pixel = T * C * 4 * 12 + T * T * 4 * 6
     max_dt = max(1, budget_bytes // max(per_pixel, 1))
     dt = int(min(D, max_dt))
     while D % dt:
@@ -202,6 +204,9 @@ def fused_rpe_attention(
         ],
         out_specs=pl.BlockSpec((1, dT, T, C), lambda b, d: (b, d, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(
         x,
