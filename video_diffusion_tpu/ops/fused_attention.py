@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pick_tile(D, T, C, budget_bytes=24 * 2**20):
+def _pick_tile(D, T, C, budget_bytes=6 * 2**20):
     """Largest divisor of D whose tile fits the VMEM budget (empirical
     accounting: ~12 f32 copies of the (T, C) pixel row live at once, plus
     attention scratch, plus double-buffered in/out blocks)."""
