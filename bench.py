@@ -33,6 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    os.environ.setdefault("VDT_PALLAS_ATTN", "1")  # fused attention (inference)
+
     import video_diffusion_tpu.utils  # noqa: F401  (compilation cache)
     from video_diffusion_tpu.models import factory
     from video_diffusion_tpu.sampling import compile_schedule
