@@ -40,7 +40,7 @@ def setup(tiny_video_model_and_diffusion, tiny_video_variables):
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
-        ema_params=(jax.tree_util.tree_map(lambda p: p, params),),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params),),
     )
     return model, diffusion, optimizer, state
 

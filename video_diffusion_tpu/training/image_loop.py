@@ -145,7 +145,10 @@ class ImageTrainLoop:
             step=jnp.asarray(self.step, jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
-            ema_params=tuple(params for _ in self.ema_rate),
+            ema_params=tuple(
+                jax.tree_util.tree_map(jnp.copy, params)
+                for _ in self.ema_rate
+            ),
         )
         self.state = jax.device_put(
             self.state, mesh_lib.replicated_sharding(self.mesh)
