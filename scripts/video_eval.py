@@ -186,6 +186,18 @@ def main(args):
     print(f"Saved metrics to {pkl_path}")
     for k, v in new_metrics.items():
         print(f"{k}: {np.mean(v):.4f}")
+    # wandb logging, when available (reference video_eval.py:335-386)
+    try:
+        import wandb
+
+        if wandb.run is None and os.environ.get("WANDB_PROJECT"):
+            wandb.init(project=os.environ["WANDB_PROJECT"],
+                       name=str(args.eval_dir))
+        if wandb.run is not None:
+            wandb.log({f"eval/{k}": float(np.mean(v))
+                       for k, v in new_metrics.items()})
+    except ImportError:
+        pass
 
 
 if __name__ == "__main__":
