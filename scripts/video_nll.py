@@ -90,6 +90,11 @@ def main(args):
     )
     if args.T is None:
         args.T = dataset[0][0].shape[0]
+    # same eval-dir convention as video_sample.py: <base>/<run identifier>
+    args.eval_dir = str(
+        eval_util.get_model_results_path(args)
+        / eval_util.get_eval_run_identifier(args)
+    )
     out_dir = Path(args.eval_dir) / "elbos"
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -148,10 +153,4 @@ if __name__ == "__main__":
     parser.add_argument("--use_gradient_method", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
-    if args.eval_dir is None:
-        args.eval_dir = str(
-            eval_util.get_model_results_path(args)
-            / eval_util.get_eval_run_identifier(args)
-        )
-    os.makedirs(args.eval_dir, exist_ok=True)
     main(args)

@@ -80,6 +80,14 @@ def main(args):
     )
     if args.max_frames is None:
         args.max_frames = model_args.max_frames
+    if args.T is None:
+        args.T = model_args.T
+    # same eval-dir convention as video_sample.py: <base>/<run identifier>
+    args.eval_dir = str(
+        eval_util.get_model_results_path(args)
+        / eval_util.get_eval_run_identifier(args)
+    )
+    os.makedirs(args.eval_dir, exist_ok=True)
     dataset = get_train_dataset(
         dataset_name=model_args.dataset, T=args.T,
         image_size=getattr(model_args, "image_size", None),
@@ -195,10 +203,4 @@ if __name__ == "__main__":
     parser.add_argument("--use_gradient_method", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
-    if args.eval_dir is None:
-        args.eval_dir = str(
-            eval_util.get_model_results_path(args)
-            / eval_util.get_eval_run_identifier(args)
-        )
-    os.makedirs(args.eval_dir, exist_ok=True)
     main(args)
