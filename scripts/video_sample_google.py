@@ -112,10 +112,12 @@ def main():
     )
     if args.T is None:
         args.T = dataset[0][0].shape[0]
-    if args.eval_dir is None:
-        args.eval_dir = eval_util.get_model_results_path(
-            args
-        ) / eval_util.get_eval_run_identifier(args)
+    from pathlib import Path
+
+    args.eval_dir = eval_util.get_model_results_path(
+        args
+    ) / eval_util.get_eval_run_identifier(args)
+    args.eval_dir = Path(args.eval_dir)
     (args.eval_dir / "samples").mkdir(parents=True, exist_ok=True)
 
     indices = args.indices or list(range(args.subset_size or len(dataset)))

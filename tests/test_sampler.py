@@ -86,3 +86,49 @@ def test_unconditional_rollout(tiny):
     )
     assert np.isfinite(out).all()
     assert np.abs(out).max() > 1e-4
+
+
+def test_hierarchy_rollout(tiny):
+    """hierarchy-2 produces multiple segments (varying window widths +
+    step-size backoff); the segmented rollout must cover every frame."""
+    model, variables, diffusion = tiny
+    T = 16
+    strategy = inference_strategies["hierarchy-2"](
+        video_length=T, num_obs=4, max_frames=6, step_size=3
+    )
+    schedule = compile_schedule(iter(strategy), 6, T)
+    assert len(schedule.segments) >= 1
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(3), (1, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    out = np.asarray(
+        sample_video(model, variables, diffusion, schedule, batch, 4,
+                     jax.random.PRNGKey(4))
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[:, :4], np.asarray(batch)[:, :4])
+    # all non-observed frames written
+    assert (np.abs(out[:, 4:]).reshape(T - 4, -1).max(axis=1) > 1e-4).all()
+
+
+def test_ragged_tail_rollout(tiny):
+    """(T - obs) not divisible by step_size -> narrower final window in its
+    own segment."""
+    model, variables, diffusion = tiny
+    T = 11  # obs 2, step 3 -> windows of width 5,5,5 and final width 3? (9/3=3 exact) use T=12? 12-2=10 -> 3 windows of 3 + tail 1
+    T = 12
+    strategy = inference_strategies["autoreg"](
+        video_length=T, num_obs=2, max_frames=5, step_size=3
+    )
+    schedule = compile_schedule(iter(strategy), 5, T)
+    widths = [seg.frame_indices.shape[1] for seg in schedule.segments]
+    assert len(set(widths)) >= 2, widths  # ragged tail creates a new width
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(5), (1, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    out = np.asarray(
+        sample_video(model, variables, diffusion, schedule, batch, 2,
+                     jax.random.PRNGKey(6))
+    )
+    assert np.isfinite(out).all()
+    assert (np.abs(out[:, 2:]).reshape(T - 2, -1).max(axis=1) > 1e-4).all()
