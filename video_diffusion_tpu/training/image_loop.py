@@ -14,7 +14,7 @@ from ..models.nn import update_ema
 from ..models.wrappers import make_image_model_fn
 from ..parallel import mesh as mesh_lib
 from ..training.resample import LossAwareSampler, UniformSampler
-from ..training.train_loop import TrainState, make_lr_schedule, make_optimizer
+from ..training.train_loop import TrainState, make_optimizer
 from ..utils import checkpoint as ckpt_lib
 from ..utils import logger
 
