@@ -397,8 +397,17 @@ class TrainLoop:
         self.step += 1
 
     def run_loop(self):
+        # jax profiler hook (SURVEY §5.1: the reference only has wall-time
+        # kv timers; here VDT_PROFILE_DIR=<dir> captures a device trace of
+        # steps [10, 20) viewable in tensorboard/xprof)
+        profile_dir = os.environ.get("VDT_PROFILE_DIR", "")
         last_sample_time = time.time()
         while not self.lr_anneal_steps or self.step < self.lr_anneal_steps:
+            if profile_dir and self.step == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and self.step == 20:
+                jax.profiler.stop_trace()
+                logger.log(f"wrote profiler trace to {profile_dir}")
             if self.step >= self.iterations:
                 break
             t_0 = time.time()
