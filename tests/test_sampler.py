@@ -132,3 +132,32 @@ def test_ragged_tail_rollout(tiny):
     )
     assert np.isfinite(out).all()
     assert (np.abs(out[:, 2:]).reshape(T - 2, -1).max(axis=1) > 1e-4).all()
+
+
+def test_trajectory_rollout(tiny):
+    """--save_all_timesteps path: per-timestep arrays with constant observed
+    prefix and final slice equal to the returned samples."""
+    from video_diffusion_tpu.sampling.sampler import sample_video_with_trajectory
+
+    model, variables, diffusion = tiny
+    T = 8
+    strategy = inference_strategies["autoreg"](
+        video_length=T, num_obs=2, max_frames=5, step_size=3
+    )
+    schedule = compile_schedule(iter(strategy), 5, T)
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(8), (1, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    samples, all_ts = sample_video_with_trajectory(
+        model, variables, diffusion, schedule, batch, 2, jax.random.PRNGKey(9)
+    )
+    K = diffusion.num_timesteps
+    assert all_ts.shape == (1, K, T, 32, 32, 3)
+    # observed prefix constant across timesteps
+    np.testing.assert_array_equal(
+        all_ts[:, 0, :2], np.broadcast_to(np.asarray(batch)[:, :2], all_ts[:, 0, :2].shape)
+    )
+    np.testing.assert_array_equal(all_ts[:, -1, :2], all_ts[:, 0, :2])
+    # last timestep slice equals the final samples on latent frames
+    np.testing.assert_allclose(all_ts[:, -1, 2:], samples[:, 2:], atol=1e-6)
+    assert np.isfinite(all_ts).all()
