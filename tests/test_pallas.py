@@ -111,3 +111,90 @@ def test_fused_attention_no_rpe_no_mask_parity():
         p["proj_kernel"], p["proj_bias"], num_heads=H, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_group_norm_silu_mod_parity():
+    """Per-sample FiLM modulation path (ResBlock scale-shift norm)."""
+    N, S, C = 3, 16, 64
+    x = jax.random.normal(jax.random.PRNGKey(10), (N, S, C)) * 1.5
+    scale = jax.random.normal(jax.random.PRNGKey(11), (C,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(12), (C,)) * 0.1
+    ms = jax.random.normal(jax.random.PRNGKey(13), (N, C)) * 0.2
+    mb = jax.random.normal(jax.random.PRNGKey(14), (N, C)) * 0.2
+    ref = group_norm_silu_reference(x, scale, bias, ms, mb)
+    got = group_norm_silu(x, scale, bias, ms, mb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_groupnorm32_param_tree_matches_fused_path():
+    """The fused path's param holder (_GNParams) declares exactly the tree
+    flax's nn.GroupNorm declares, so either execution path loads the other's
+    checkpoints."""
+    from flax import linen as nn
+
+    from video_diffusion_tpu.models.nn import GroupNorm32, _GNParams
+
+    class _Holder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+            return x * scale + bias
+
+    x = jnp.ones((2, 4, 64))
+    v1 = GroupNorm32().init(jax.random.PRNGKey(0), x)
+    v2 = _Holder().init(jax.random.PRNGKey(0), x)
+    s1 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v1)
+    s2 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v2)
+    assert s1 == s2
+
+
+def test_resblock_fused_gn_parity(monkeypatch):
+    """ResBlock with use_pallas=True (fused GN+SiLU, interpret mode) matches
+    the plain path on the same params, for both scale-shift modes."""
+    import video_diffusion_tpu.ops.pallas_kernels as pk
+    from video_diffusion_tpu.models import nn as vnn
+    from video_diffusion_tpu.models.unet import ResBlock
+    import functools as ft
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        pk, "group_norm_silu", ft.partial(pk.group_norm_silu, interpret=True)
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 8, 8, 64))
+    emb = jax.random.normal(jax.random.PRNGKey(21), (2, 128))
+    for ssn in (False, True):
+        plain = ResBlock(out_channels=64, use_scale_shift_norm=ssn)
+        fused = ResBlock(out_channels=64, use_scale_shift_norm=ssn,
+                         use_pallas=True)
+        v = plain.init(jax.random.PRNGKey(22), x, emb)
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        keys = jax.random.split(jax.random.PRNGKey(23), len(leaves))
+        v = jax.tree_util.tree_unflatten(
+            treedef,
+            [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+             for p, k in zip(leaves, keys)],
+        )
+        ref = plain.apply(v, x, emb)
+        got = fused.apply(v, x, emb)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4,
+            err_msg=f"use_scale_shift_norm={ssn}",
+        )
+
+
+def test_group_norm_silu_tiled_parity():
+    """Large-S inputs take the two-phase S-tiled kernel path."""
+    from video_diffusion_tpu.ops.pallas_kernels import _GN_SINGLE_BLOCK_ELEMS
+
+    N, S, C = 2, 8192, 128
+    assert S * C > _GN_SINGLE_BLOCK_ELEMS  # must exercise the tiled path
+    x = jax.random.normal(jax.random.PRNGKey(30), (N, S, C)) * 1.3 + 0.2
+    scale = jax.random.normal(jax.random.PRNGKey(31), (C,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(32), (C,)) * 0.1
+    ms = jax.random.normal(jax.random.PRNGKey(33), (N, C)) * 0.2
+    mb = jax.random.normal(jax.random.PRNGKey(34), (N, C)) * 0.2
+    for args in ((None, None), (ms, mb)):
+        ref = group_norm_silu_reference(x, scale, bias, *args)
+        got = group_norm_silu(x, scale, bias, *args, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

@@ -184,6 +184,7 @@ def create_video_model(
         cross_frame_attention=cross_frame_attention,
         enforce_position_invariance=enforce_position_invariance,
         use_pallas_attention=os.environ.get("VDT_PALLAS_ATTN", "") == "1",
+        use_pallas_gn=os.environ.get("VDT_PALLAS_GN", "") == "1",
         dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
     )
     if do_cond_marg:

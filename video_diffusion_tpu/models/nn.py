@@ -56,20 +56,64 @@ def update_ema(ema_params, new_params, rate):
 zero_init = nn.initializers.zeros_init()
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder whose param names ('scale', 'bias') and shapes match
+    flax.linen.GroupNorm, so checkpoints are interchangeable between the
+    fused-Pallas and nn.GroupNorm execution paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        bias = self.param("bias", zero_init, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32 regardless of input dtype
     (reference nn.py:15-17, :80-86). Stats are over all non-batch axes within
     each channel group — for attention pre-norms this pools over the attended
     axis too, matching the reference's GroupNorm-on-(B*D, C, T) usage
-    (unet.py:471-475)."""
+    (unet.py:471-475).
+
+    ``act='silu'`` appends SiLU, and ``mod_scale``/``mod_bias`` apply a
+    per-sample FiLM modulation h*(1+ms)+mb between the norm and the
+    activation (the ResBlock scale-shift path). With ``use_pallas`` on a TPU
+    backend the whole chain runs as one fused Pallas kernel
+    (ops/pallas_kernels.py) — one HBM read + one write. Param tree is
+    identical on both paths."""
 
     num_groups: int = 32
+    act: str = ""  # '' or 'silu'
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mod_scale=None, mod_bias=None):
         orig_dtype = x.dtype
+        if (
+            self.use_pallas
+            and self.act == "silu"
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            from ..ops.pallas_kernels import group_norm_silu
+
+            scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+            N, C = x.shape[0], x.shape[-1]
+            ms = None if mod_scale is None else mod_scale.reshape(N, C)
+            mb = None if mod_bias is None else mod_bias.reshape(N, C)
+            return group_norm_silu(
+                x, scale, bias, ms, mb, num_groups=self.num_groups
+            )
         h = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
-        return h.astype(orig_dtype)
+        h = h.astype(orig_dtype)
+        if mod_scale is not None:
+            h = h * (1 + mod_scale) + mod_bias
+        if self.act == "silu":
+            h = nn.silu(h)
+        return h

@@ -86,13 +86,13 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     use_conv_skip: bool = False
+    use_pallas: bool = False  # fused GroupNorm+SiLU kernel (inference path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", use_pallas=self.use_pallas, name="in_norm")(x)
         h = _conv(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(
@@ -102,13 +102,14 @@ class ResBlock(nn.Module):
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]
 
+        out_norm = GroupNorm32(
+            act="silu", use_pallas=self.use_pallas, name="out_norm"
+        )
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = out_norm(h, mod_scale=scale, mod_bias=shift)
         else:
-            h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = out_norm(h + emb_out)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = _conv(self.out_channels, 3, zero=True, dtype=self.dtype, name="out_conv")(h)
 
@@ -454,6 +455,7 @@ class UNet(nn.Module):
     enforce_position_invariance: bool = False
     use_checkpoint: bool = False
     use_pallas_attention: bool = False
+    use_pallas_gn: bool = False  # fused GroupNorm+SiLU in ResBlocks (inference)
     dtype: jnp.dtype = jnp.float32
 
     def _first_attn_position(self):
@@ -530,6 +532,7 @@ class UNet(nn.Module):
                 out_channels=out_ch,
                 dropout=self.dropout,
                 use_scale_shift_norm=self.use_scale_shift_norm,
+                use_pallas=self.use_pallas_gn,
                 dtype=self.dtype,
                 name=name,
             )
@@ -625,8 +628,7 @@ class UNet(nn.Module):
                 sow_feature("up", h)
 
         h = h.astype(jnp.float32)
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", use_pallas=self.use_pallas_gn, name="out_norm")(h)
         h = _conv(self.out_channels, 3, zero=True, dtype=jnp.float32, name="out_conv")(h)
         return h.reshape(B, T, Hh, Ww, self.out_channels)
 
