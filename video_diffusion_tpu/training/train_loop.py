@@ -238,6 +238,7 @@ class TrainLoop:
         self.n_valid_batches = n_valid_batches
         self.n_valid_repeats = n_valid_repeats
         self.n_interesting_masks = n_interesting_masks
+        self._pending_metrics = None  # (metrics, t) of the not-yet-logged step
         self.mask_sampler = MaskSampler(
             mask_distribution=mask_distribution,
             max_frames=max_frames,
@@ -390,11 +391,24 @@ class TrainLoop:
         return mesh_lib.shard_batch(batch, self.mesh), t
 
     def run_step(self):
+        # Software-pipelined: host-side batch prep (mask sampling, gathers)
+        # for step N runs while the device executes step N-1; metrics of the
+        # previous step are materialised only after step N is dispatched, so
+        # `jax.device_get` never stalls an idle device. (The reference's
+        # torch loop gets the same overlap implicitly from CUDA streams;
+        # here the blocking device_get had been serialising host and TPU.)
         batch, t_host = self._next_train_batch()
         self.jrng, step_rng = jax.random.split(self.jrng)
         self.state, metrics = self._train_step(self.state, batch, step_rng)
-        self._log_metrics(metrics, t_host)
+        if self._pending_metrics is not None:
+            self._log_metrics(*self._pending_metrics)
+        self._pending_metrics = (metrics, t_host, self.step)
         self.step += 1
+
+    def _flush_metrics(self):
+        if self._pending_metrics is not None:
+            self._log_metrics(*self._pending_metrics)
+            self._pending_metrics = None
 
     def run_loop(self):
         # jax profiler hook (SURVEY §5.1: the reference only has wall-time
@@ -414,6 +428,7 @@ class TrainLoop:
             self.run_step()
             logger.logkv("timing/step_time", time.time() - t_0)
             if self.step % self.log_interval == 0:
+                self._flush_metrics()
                 logger.dumpkvs()
             if self.step % self.save_interval == 0:
                 self.save()
@@ -429,18 +444,20 @@ class TrainLoop:
                     "timing/time_between_samples", time.time() - last_sample_time
                 )
                 last_sample_time = time.time()
+        self._flush_metrics()
         if (self.step - 1) % self.save_interval != 0:
             self.save()
 
     # ------------------------------------------------------------------ #
-    def _log_metrics(self, metrics, t_host):
+    def _log_metrics(self, metrics, t_host, step=None):
+        step = self.step if step is None else step
         metrics = jax.device_get(metrics)
-        logger.logkv("step", self.step)
+        logger.logkv("step", step)
         lr = make_lr_schedule(self.lr, self.iterations, self.lr_anneal_steps)(
-            self.step
+            step
         )
         logger.logkv("lr", float(lr))
-        logger.logkv("samples", (self.step + 1) * self.global_batch)
+        logger.logkv("samples", (step + 1) * self.global_batch)
         logger.logkv_mean("grad_norm", float(metrics.pop("grad_norm")))
         skipped = metrics.pop("skipped")
         if bool(np.asarray(skipped).any()):

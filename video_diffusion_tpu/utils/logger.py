@@ -1,210 +1,289 @@
-"""KV metric logger with pluggable sinks (stdout/log/json/csv/tensorboard/
-wandb), same public surface as the reference's OpenAI-baselines-lineage logger
-(/root/reference/improved_diffusion/logger.py): logkv / logkv_mean / dumpkvs /
-log / configure / profile_kv / @profile.
+"""Key/value metric logging with fan-out sinks.
 
-wandb and tensorboard are optional; sinks degrade gracefully when the
-packages are absent. Only process 0 writes rich sinks, other processes get a
-plain 'log' sink (reference logger.py:502-507).
+Public surface kept name-compatible with the reference CLI contract
+(/root/reference/improved_diffusion/logger.py): ``logkv``/``logkv_mean``/
+``dumpkvs``/``log``/``configure``/``profile_kv``/``@profile``, the
+``OPENAI_LOGDIR``/``OPENAI_LOG_FORMAT`` env knobs, and the on-disk file names
+(``log.txt``, ``progress.csv``, ``progress.json``).  The implementation is
+this framework's own: a metric buffer object plus small sink classes, with
+wandb/tensorboard strictly optional (tensorboard events go through
+``tf.summary`` — no torch dependency anywhere).
 """
+
+from __future__ import annotations
 
 import datetime
 import json
 import os
-import os.path as osp
 import sys
 import tempfile
 import time
-from collections import defaultdict
 from contextlib import contextmanager
 from functools import wraps
 
-DEBUG = 10
-INFO = 20
-WARN = 30
-ERROR = 40
-DISABLED = 50
+DEBUG, INFO, WARN, ERROR, DISABLED = 10, 20, 30, 40, 50
+
+_STAMP = "%Y-%m-%d %H:%M:%S"
 
 
-class KVWriter:
-    def writekvs(self, kvs):
-        raise NotImplementedError
+def _scalar(v):
+    """Best-effort float coercion (jnp/np scalars, python numbers)."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
 
 
-class SeqWriter:
-    def writeseq(self, seq):
-        raise NotImplementedError
+# --------------------------------------------------------------------- #
+# sinks
+# --------------------------------------------------------------------- #
 
 
-class HumanOutputFormat(KVWriter, SeqWriter):
-    def __init__(self, filename_or_file):
-        if isinstance(filename_or_file, str):
-            self.file = open(filename_or_file, "wt")
-            self.own_file = True
-        else:
-            assert hasattr(filename_or_file, "read")
-            self.file = filename_or_file
-            self.own_file = False
+class Sink:
+    """A metric sink. ``row`` receives one flushed kv dict per dump;
+    ``line`` receives free-form log text. Either may be a no-op."""
 
-    def writekvs(self, kvs):
-        key2str = {}
-        for key, val in sorted(kvs.items()):
-            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
-            key2str[self._truncate(key)] = self._truncate(valstr)
-        if len(key2str) == 0:
-            return
-        keywidth = max(map(len, key2str.keys()))
-        valwidth = max(map(len, key2str.values()))
-        dashes = "-" * (keywidth + valwidth + 7)
-        lines = [dashes]
-        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
-            lines.append(
-                f"| {key}{' ' * (keywidth - len(key))} | {val}{' ' * (valwidth - len(val))} |"
-            )
-        lines.append(dashes)
-        self.file.write("\n".join(lines) + "\n")
-        self.file.flush()
+    def row(self, kvs: dict):
+        pass
 
-    @staticmethod
-    def _truncate(s):
-        maxlen = 30
-        return s[: maxlen - 3] + "..." if len(s) > maxlen else s
-
-    def writeseq(self, seq):
-        seq = list(seq)
-        for i, elem in enumerate(seq):
-            self.file.write(elem)
-            if i < len(seq) - 1:
-                self.file.write(" ")
-        self.file.write("\n")
-        self.file.flush()
-
-    def close(self):
-        if self.own_file:
-            self.file.close()
-
-
-class JSONOutputFormat(KVWriter):
-    def __init__(self, filename):
-        self.file = open(filename, "wt")
-
-    def writekvs(self, kvs):
-        for k, v in sorted(kvs.items()):
-            if hasattr(v, "dtype"):
-                kvs[k] = float(v)
-        self.file.write(json.dumps(kvs, default=str) + "\n")
-        self.file.flush()
-
-    def close(self):
-        self.file.close()
-
-
-class CSVOutputFormat(KVWriter):
-    def __init__(self, filename):
-        self.file = open(filename, "w+t")
-        self.keys = []
-        self.sep = ","
-
-    def writekvs(self, kvs):
-        extra_keys = list(kvs.keys() - self.keys)
-        extra_keys.sort()
-        if extra_keys:
-            self.keys.extend(extra_keys)
-            self.file.seek(0)
-            lines = self.file.readlines()
-            self.file.seek(0)
-            self.file.write(self.sep.join(self.keys) + "\n")
-            for line in lines[1:]:
-                self.file.write(line[:-1])
-                self.file.write(self.sep * len(extra_keys))
-                self.file.write("\n")
-        self.file.write(
-            self.sep.join("" if kvs.get(k) is None else str(kvs.get(k)) for k in self.keys)
-        )
-        self.file.write("\n")
-        self.file.flush()
-
-    def close(self):
-        self.file.close()
-
-
-class WandbOutputFormat(KVWriter):
-    """wandb sink; init'd with project FlexDiff like the reference
-    (logger.py:154-192). Degrades to no-op if wandb is unavailable."""
-
-    def __init__(self, args=None, resume_id=None):
-        try:
-            import wandb
-        except ImportError:
-            self.wandb = None
-            return
-        self.wandb = wandb
-        kwargs = dict(project=os.environ.get("WANDB_PROJECT", "FlexDiff"))
-        if resume_id:
-            kwargs.update(id=resume_id, resume="must")
-        if args is not None:
-            kwargs["config"] = vars(args) if hasattr(args, "__dict__") else args
-        if wandb.run is None:
-            wandb.init(**kwargs)
-
-    def writekvs(self, kvs):
-        if self.wandb is None:
-            return
-        self.wandb.log({k: v for k, v in kvs.items()})
+    def line(self, text: str):
+        pass
 
     def close(self):
         pass
 
 
-class TensorBoardOutputFormat(KVWriter):
-    def __init__(self, dir):
-        os.makedirs(dir, exist_ok=True)
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+class TableSink(Sink):
+    """Human-readable sink: aligned two-column table per dump + log lines.
+    Writes to an open stream or owns a file it opened by path."""
 
-            self.writer = SummaryWriter(log_dir=dir)
-        except Exception:
-            self.writer = None
-        self.step = 0
+    WIDTH = 40
 
-    def writekvs(self, kvs):
-        if self.writer is None:
+    def __init__(self, target):
+        self._owns = isinstance(target, str)
+        self.stream = open(target, "at") if self._owns else target
+
+    def _clip(self, s):
+        return s if len(s) <= self.WIDTH else s[: self.WIDTH - 3] + "..."
+
+    def row(self, kvs):
+        if not kvs:
             return
-        step = int(kvs.get("step", self.step))
-        for k, v in kvs.items():
-            if hasattr(v, "__float__"):
-                try:
-                    self.writer.add_scalar(k, float(v), step)
-                except Exception:
-                    pass
-        self.step = step + 1
+        cells = []
+        for k in sorted(kvs, key=str.lower):
+            v = kvs[k]
+            shown = f"{v:<10.4g}" if _scalar(v) is not None else str(v)
+            cells.append((self._clip(str(k)), self._clip(shown)))
+        kw = max(len(k) for k, _ in cells)
+        vw = max(len(v) for _, v in cells)
+        rule = "-" * (kw + vw + 7)
+        out = [rule]
+        out += [f"| {k:<{kw}} | {v:<{vw}} |" for k, v in cells]
+        out.append(rule)
+        self.stream.write("\n".join(out) + "\n")
+        self.stream.flush()
+
+    def line(self, text):
+        self.stream.write(text + "\n")
+        self.stream.flush()
 
     def close(self):
-        if self.writer is not None:
-            self.writer.close()
+        if self._owns:
+            self.stream.close()
+
+
+class JsonlSink(Sink):
+    """One JSON object per dump (progress.json)."""
+
+    def __init__(self, path):
+        self.stream = open(path, "at")
+
+    def row(self, kvs):
+        enc = {k: (_scalar(v) if _scalar(v) is not None else str(v))
+               for k, v in kvs.items()}
+        self.stream.write(json.dumps(enc) + "\n")
+        self.stream.flush()
+
+    def close(self):
+        self.stream.close()
+
+
+class CsvSink(Sink):
+    """progress.csv with a growing column set: when a dump introduces new
+    keys the whole file is rewritten with the widened header (rows are kept
+    in memory — dumps are O(run minutes), not O(steps))."""
+
+    def __init__(self, path):
+        self.path = path
+        self.columns: list[str] = []
+        self.rows: list[dict] = []
+
+    def row(self, kvs):
+        new = sorted(k for k in kvs if k not in self.columns)
+        self.rows.append(dict(kvs))
+        if new:
+            self.columns.extend(new)
+            with open(self.path, "wt") as f:
+                f.write(",".join(self.columns) + "\n")
+                for r in self.rows:
+                    f.write(self._line(r))
+        else:
+            with open(self.path, "at") as f:
+                f.write(self._line(kvs))
+
+    def _line(self, r):
+        return ",".join(
+            "" if r.get(c) is None else str(r.get(c, "")) for c in self.columns
+        ) + "\n"
+
+
+class WandbSink(Sink):
+    """Optional wandb sink (project FlexDiff, same as the reference's wandb
+    contract); silently inert when wandb is not importable."""
+
+    def __init__(self, args=None, resume_id=None):
+        try:
+            import wandb
+        except ImportError:
+            self._w = None
+            return
+        self._w = wandb
+        if wandb.run is None:
+            init = {"project": os.environ.get("WANDB_PROJECT", "FlexDiff")}
+            if resume_id:
+                init.update(id=resume_id, resume="must")
+            if args is not None:
+                init["config"] = vars(args) if hasattr(args, "__dict__") else args
+            wandb.init(**init)
+
+    def row(self, kvs):
+        if self._w is not None:
+            self._w.log(dict(kvs))
+
+
+class TensorBoardSink(Sink):
+    """TB events via tf.summary (lazy TF import; no torch)."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        try:
+            import tensorflow as tf  # heavyweight; only when requested
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(logdir)
+        except Exception:
+            self._tf = self._writer = None
+        self._step = 0
+
+    def row(self, kvs):
+        if self._writer is None:
+            return
+        step = kvs.get("step")
+        step = int(step) if _scalar(step) is not None else self._step
+        with self._writer.as_default():
+            for k, v in kvs.items():
+                f = _scalar(v)
+                if f is not None:
+                    self._tf.summary.scalar(k, f, step=step)
+        self._writer.flush()
+        self._step = step + 1
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+_SINK_FACTORIES = {
+    "stdout": lambda d, sfx, **kw: TableSink(sys.stdout),
+    "log": lambda d, sfx, **kw: TableSink(os.path.join(d, f"log{sfx}.txt")),
+    "json": lambda d, sfx, **kw: JsonlSink(os.path.join(d, f"progress{sfx}.json")),
+    "csv": lambda d, sfx, **kw: CsvSink(os.path.join(d, f"progress{sfx}.csv")),
+    "wandb": lambda d, sfx, **kw: WandbSink(**kw),
+    "tensorboard": lambda d, sfx, **kw: TensorBoardSink(os.path.join(d, f"tb{sfx}")),
+}
 
 
 def make_output_format(fmt, ev_dir, log_suffix="", args=None, resume_id=None):
-    os.makedirs(ev_dir, exist_ok=True)
-    if fmt == "stdout":
-        return HumanOutputFormat(sys.stdout)
-    elif fmt == "log":
-        return HumanOutputFormat(osp.join(ev_dir, f"log{log_suffix}.txt"))
-    elif fmt == "json":
-        return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
-    elif fmt == "csv":
-        return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
-    elif fmt == "wandb":
-        return WandbOutputFormat(args=args, resume_id=resume_id)
-    elif fmt == "tensorboard":
-        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
-    else:
+    if fmt not in _SINK_FACTORIES:
         raise ValueError(f"Unknown format specified: {fmt}")
+    os.makedirs(ev_dir, exist_ok=True)
+    return _SINK_FACTORIES[fmt](ev_dir, log_suffix, args=args, resume_id=resume_id)
 
 
-# ================================================================ #
-# API
-# ================================================================ #
+# --------------------------------------------------------------------- #
+# the logger object
+# --------------------------------------------------------------------- #
+
+
+class Logger:
+    DEFAULT = None
+    CURRENT = None
+
+    def __init__(self, dir, sinks):
+        self.dir = dir
+        self.sinks = sinks
+        self.level = INFO
+        self._vals: dict = {}
+        self._counts: dict = {}
+
+    # buffer ----------------------------------------------------------- #
+    def logkv(self, key, val):
+        self._vals[key] = val
+        self._counts.pop(key, None)
+
+    def logkv_mean(self, key, val):
+        if val is None:
+            self._vals[key] = None
+            self._counts.pop(key, None)
+            return
+        n = self._counts.get(key, 0)
+        prev = self._vals.get(key, 0.0) if n else 0.0
+        self._vals[key] = (prev * n + val) / (n + 1)
+        self._counts[key] = n + 1
+
+    @property
+    def name2val(self):  # back-compat accessor (profile_kv accumulates here)
+        return self._vals
+
+    def dumpkvs(self):
+        if self.level == DISABLED:
+            return {}
+        snapshot = dict(self._vals)
+        for s in self.sinks:
+            s.row(snapshot)
+        self._vals.clear()
+        self._counts.clear()
+        return snapshot
+
+    # text ------------------------------------------------------------- #
+    def log(self, *parts, level=INFO):
+        if self.level > level:
+            return
+        stamp = datetime.datetime.now().strftime(_STAMP)
+        text = " ".join(str(p) for p in ([f"[{stamp}]"] + list(parts)))
+        for s in self.sinks:
+            s.line(text)
+
+    def set_level(self, level):
+        self.level = level
+
+    def get_dir(self):
+        return self.dir
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
+# --------------------------------------------------------------------- #
+# module-level API
+# --------------------------------------------------------------------- #
+
+
+def get_current():
+    if Logger.CURRENT is None:
+        _configure_default_logger()
+    return Logger.CURRENT
 
 
 def logkv(key, val):
@@ -225,7 +304,7 @@ def dumpkvs():
 
 
 def getkvs():
-    return get_current().name2val
+    return get_current()._vals
 
 
 def log(*args, level=INFO):
@@ -262,124 +341,55 @@ dump_tabular = dumpkvs
 
 @contextmanager
 def profile_kv(scopename):
-    logkey = "wait_" + scopename
-    tstart = time.time()
+    key = "wait_" + scopename
+    t0 = time.time()
     try:
         yield
     finally:
-        get_current().name2val[logkey] += time.time() - tstart
+        vals = get_current()._vals
+        vals[key] = vals.get(key, 0.0) + time.time() - t0
 
 
 def profile(n):
-    """Decorator: profile wall time of a function into 'wait_<n>'."""
+    """Decorator: accumulate a function's wall time into ``wait_<n>``."""
 
-    def decorator_with_name(func):
-        @wraps(func)
-        def func_wrapper(*args, **kwargs):
+    def wrap(fn):
+        @wraps(fn)
+        def inner(*a, **kw):
             with profile_kv(n):
-                return func(*args, **kwargs)
+                return fn(*a, **kw)
 
-        return func_wrapper
+        return inner
 
-    return decorator_with_name
-
-
-# ================================================================ #
-# Backend
-# ================================================================ #
-
-
-def get_current():
-    if Logger.CURRENT is None:
-        _configure_default_logger()
-    return Logger.CURRENT
-
-
-class Logger:
-    DEFAULT = None
-    CURRENT = None
-
-    def __init__(self, dir, output_formats):
-        self.name2val = defaultdict(float)
-        self.name2cnt = defaultdict(int)
-        self.level = INFO
-        self.dir = dir
-        self.output_formats = output_formats
-
-    def logkv(self, key, val):
-        self.name2val[key] = val
-
-    def logkv_mean(self, key, val):
-        if val is None:
-            self.name2val[key] = None
-            return
-        oldval, cnt = self.name2val[key], self.name2cnt[key]
-        self.name2val[key] = oldval * cnt / (cnt + 1) + val / (cnt + 1)
-        self.name2cnt[key] = cnt + 1
-
-    def dumpkvs(self):
-        if self.level == DISABLED:
-            return {}
-        d = dict(self.name2val)
-        for fmt in self.output_formats:
-            if isinstance(fmt, KVWriter):
-                fmt.writekvs(d)
-        self.name2val.clear()
-        self.name2cnt.clear()
-        return d
-
-    def log(self, *args, level=INFO):
-        if self.level <= level:
-            self._do_log(args)
-
-    def set_level(self, level):
-        self.level = level
-
-    def get_dir(self):
-        return self.dir
-
-    def close(self):
-        for fmt in self.output_formats:
-            fmt.close()
-
-    def _do_log(self, args):
-        stamped = (f"[{datetime.datetime.now():%Y-%m-%d %H:%M:%S}]",) + args
-        for fmt in self.output_formats:
-            if isinstance(fmt, SeqWriter):
-                fmt.writeseq(map(str, stamped))
+    return wrap
 
 
 def configure(dir=None, format_strs=None, args=None, resume_id=None):
-    """Configure the global logger; defaults match the reference
-    (logger.py:479-519): OPENAI_LOGDIR / OPENAI_LOG_FORMAT env overrides,
-    rank-0 gets 'stdout,log,csv' (+wandb if available), others 'log'."""
+    """Install the global logger. Contract (matching the reference CLIs):
+    ``OPENAI_LOGDIR`` overrides the directory, ``OPENAI_LOG_FORMAT`` the sink
+    list; process 0 defaults to ``stdout,log,csv``, other processes to a
+    rank-suffixed ``log`` sink."""
     import jax
 
     if dir is None:
         dir = os.environ.get("OPENAI_LOGDIR")
     if dir is None:
-        dir = osp.join(
-            tempfile.gettempdir(),
-            datetime.datetime.now().strftime("openai-%Y-%m-%d-%H-%M-%S-%f"),
-        )
-    assert isinstance(dir, str)
+        stamp = datetime.datetime.now().strftime("openai-%Y-%m-%d-%H-%M-%S-%f")
+        dir = os.path.join(tempfile.gettempdir(), stamp)
     os.makedirs(dir, exist_ok=True)
 
     rank = jax.process_index()
-    log_suffix = ""
+    suffix = "" if rank == 0 else f"-rank{rank:03d}"
     if format_strs is None:
-        if rank == 0:
-            format_strs = os.environ.get("OPENAI_LOG_FORMAT", "stdout,log,csv").split(",")
-        else:
-            format_strs = os.environ.get("OPENAI_LOG_FORMAT_MPI", "log").split(",")
-            log_suffix = f"-rank{rank:03d}"
-    format_strs = [f for f in format_strs if f]
-    output_formats = [
-        make_output_format(f, dir, log_suffix, args=args, resume_id=resume_id)
+        env = "OPENAI_LOG_FORMAT" if rank == 0 else "OPENAI_LOG_FORMAT_MPI"
+        default = "stdout,log,csv" if rank == 0 else "log"
+        format_strs = os.environ.get(env, default).split(",")
+    sinks = [
+        make_output_format(f, dir, suffix, args=args, resume_id=resume_id)
         for f in format_strs
+        if f
     ]
-
-    Logger.CURRENT = Logger(dir=dir, output_formats=output_formats)
+    Logger.CURRENT = Logger(dir=dir, sinks=sinks)
     log(f"Logging to {dir}")
 
 
