@@ -2,44 +2,42 @@
 
 Run once in any environment with torch + lpips installed:
 
-    python scripts/convert_lpips_weights.py --out lpips_alex.pkl
+    python scripts/convert_lpips_weights.py --out weights/lpips_alex.pkl
 
-then point LPIPS_WEIGHTS=lpips_alex.pkl (or pass weights_path=). Produces:
-  {'alexnet': {conv0..conv4: {'kernel': HWIO, 'bias': (C,)}},
-   'lins': [ (C_l,) nonneg per-channel weights x5 ]}
+The default output location is picked up automatically by
+video_diffusion_tpu.eval.lpips.LPIPS (or point LPIPS_WEIGHTS at it).
+The layout mapping itself lives in video_diffusion_tpu.eval.convert and is
+parity-tested against a torch-built LPIPS in tests/test_weight_conversion.py.
 """
 
 import argparse
+import os
 import pickle
+import sys
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from video_diffusion_tpu.eval.convert import torch_lpips_to_flax
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", default="lpips_alex.pkl")
+    parser.add_argument("--out", default="weights/lpips_alex.pkl")
     args = parser.parse_args()
 
     import lpips as lpips_pkg  # requires torch + lpips
 
     net = lpips_pkg.LPIPS(net="alex", spatial=False)
-    alex = net.net  # alexnet trunk (features sequential inside .slices)
-    # torch alexnet conv layers in order
     convs = [m for m in net.net.modules() if m.__class__.__name__ == "Conv2d"]
     assert len(convs) == 5, len(convs)
-    params = {}
-    for i, conv in enumerate(convs):
-        w = conv.weight.detach().numpy()  # (O, I, kH, kW)
-        params[f"conv{i}"] = {
-            "kernel": np.transpose(w, (2, 3, 1, 0)),  # HWIO for flax
-            "bias": conv.bias.detach().numpy(),
-        }
-    lins = []
-    for lin in net.lins:
-        w = lin.model[-1].weight.detach().numpy()  # (1, C, 1, 1)
-        lins.append(np.clip(w.reshape(-1), 0, None))
+    conv_weights = [
+        (c.weight.detach().numpy(), c.bias.detach().numpy()) for c in convs
+    ]
+    lin_weights = [lin.model[-1].weight.detach().numpy() for lin in net.lins]
+    data = torch_lpips_to_flax(conv_weights, lin_weights)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:
-        pickle.dump({"alexnet": params, "lins": lins}, f)
+        pickle.dump(data, f)
     print(f"wrote {args.out}")
 
 

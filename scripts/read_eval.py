@@ -12,6 +12,9 @@ if __name__ == "__main__":
     with open(args.path, "rb") as f:
         metrics = pickle.load(f)
     for name, arr in sorted(metrics.items()):
+        if name.startswith("_provenance/"):
+            print(f"{name}: {arr}")
+            continue
         arr = np.asarray(arr)
         # best-over-samples then mean-over-videos, plus the plain mean
         if arr.ndim == 3 and arr.shape[1] > 0:

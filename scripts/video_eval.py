@@ -101,6 +101,7 @@ def compute_lpips_lazy(data_fetch, T, num_samples):
     num_videos = len(data_fetch)
     lpips = np.zeros((num_videos, num_samples, T))
     loss_fn = LPIPS()
+    print(f"LPIPS feature weights: {loss_fn.provenance}")
     for i in tqdm(range(num_videos), desc="LPIPS"):
         data = data_fetch[i]
         gt = data["gt"][:T] * 2 - 1  # (T, C, H, W) -> [-1, 1]
@@ -109,13 +110,14 @@ def compute_lpips_lazy(data_fetch, T, num_samples):
         for k, pred in enumerate(preds):
             p = np.moveaxis(pred[:T] * 2 - 1, 1, -1)
             lpips[i, k, :] = loss_fn(gt, p)
-    return {"lpips": lpips}
+    return {"lpips": lpips, "_provenance/lpips": loss_fn.provenance}
 
 
 def compute_fvd_lazy(data_fetch, T, num_samples, batch_size=8):
     from video_diffusion_tpu.eval.i3d import FVDFeatureExtractor
 
     fx = FVDFeatureExtractor(batch_size=batch_size)
+    print(f"FVD (I3D) feature weights: {fx.provenance}")
     num_videos = len(data_fetch)
     T_eff = T - data_fetch.obs_length
     gt_feats = []
@@ -132,7 +134,8 @@ def compute_fvd_lazy(data_fetch, T, num_samples, batch_size=8):
     fvd = np.zeros(num_samples)
     for k in range(num_samples):
         fvd[k] = fx.compute_fvd(np.concatenate(pred_feats[k]), gt_features)
-    return {"fvd": fvd.reshape(1, num_samples, 1)}
+    return {"fvd": fvd.reshape(1, num_samples, 1),
+            "_provenance/fvd": fx.provenance}
 
 
 def main(args):
@@ -185,7 +188,10 @@ def main(args):
             pickle.dump(metrics, f)
     print(f"Saved metrics to {pkl_path}")
     for k, v in new_metrics.items():
-        print(f"{k}: {np.mean(v):.4f}")
+        if k.startswith("_provenance/"):
+            print(f"{k}: {v}")
+        else:
+            print(f"{k}: {np.mean(v):.4f}")
     # wandb logging, when available (reference video_eval.py:335-386)
     try:
         import wandb
@@ -195,7 +201,8 @@ def main(args):
                        name=str(args.eval_dir))
         if wandb.run is not None:
             wandb.log({f"eval/{k}": float(np.mean(v))
-                       for k, v in new_metrics.items()})
+                       for k, v in new_metrics.items()
+                       if not k.startswith("_provenance/")})
     except ImportError:
         pass
 

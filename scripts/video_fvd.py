@@ -43,7 +43,8 @@ def main(args):
     out = Path(args.eval_dir) / f"fvd-{len(files)}-{args.sample_idx}.txt"
     with open(out, "w") as f:
         f.write(f"{fvd}\n")
-    print(f"FVD = {fvd:.3f} -> {out}")
+        f.write(f"# i3d-features: {fx.provenance}\n")
+    print(f"FVD = {fvd:.3f} ({fx.provenance}) -> {out}")
 
 
 if __name__ == "__main__":

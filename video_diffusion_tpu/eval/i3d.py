@@ -22,6 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+def _default_weights():
+    """Repo-level default drop-in location for converted weights."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "weights", "i3d_kinetics400.pkl"
+    )
+    return path if os.path.exists(path) else ""
+
+
 _INCEPTION_CFG = {
     # name: (b0, b1a, b1b, b2a, b2b, b3)
     "Mixed_3b": (64, 96, 128, 16, 32, 32),
@@ -133,12 +141,13 @@ class FVDFeatureExtractor:
         self.model = I3D()
         self.batch_size = batch_size
         if weights_path is None:
-            weights_path = os.environ.get("I3D_WEIGHTS", "")
+            weights_path = os.environ.get("I3D_WEIGHTS", "") or _default_weights()
         if weights_path and os.path.exists(weights_path):
             with open(weights_path, "rb") as f:
                 variables = pickle.load(f)
             self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
             self.pretrained = True
+            self.provenance = f"pretrained:{os.path.abspath(weights_path)}"
         else:
             warnings.warn(
                 "I3D weights not found — using fixed-seed random features. "
@@ -150,6 +159,7 @@ class FVDFeatureExtractor:
             dummy = jnp.zeros((1, 9, 224, 224, 3))
             self.variables = self.model.init(jax.random.PRNGKey(seed), dummy)
             self.pretrained = False
+            self.provenance = f"random-init:seed{seed}"
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
 
     @staticmethod

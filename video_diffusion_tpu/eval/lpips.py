@@ -25,6 +25,14 @@ from flax import linen as nn
 _SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
 
+def _default_weights():
+    """Repo-level default drop-in location for converted weights."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "weights", "lpips_alex.pkl"
+    )
+    return path if os.path.exists(path) else ""
+
+
 _ALEX_CFG = [
     # (features, kernel, stride, padding)
     (64, 11, 4, 2),
@@ -64,13 +72,14 @@ class LPIPS:
     def __init__(self, weights_path=None, seed=0):
         self.net = AlexNetFeatures()
         if weights_path is None:
-            weights_path = os.environ.get("LPIPS_WEIGHTS", "")
+            weights_path = os.environ.get("LPIPS_WEIGHTS", "") or _default_weights()
         if weights_path and os.path.exists(weights_path):
             with open(weights_path, "rb") as f:
                 data = pickle.load(f)
             self.params = jax.tree_util.tree_map(jnp.asarray, data["alexnet"])
             self.lins = [jnp.asarray(w) for w in data["lins"]]
             self.pretrained = True
+            self.provenance = f"pretrained:{os.path.abspath(weights_path)}"
         else:
             warnings.warn(
                 "LPIPS weights not found — using fixed-seed random features. "
@@ -85,6 +94,7 @@ class LPIPS:
                 jnp.ones((f,), dtype=jnp.float32) / f for f, *_ in _ALEX_CFG
             ]
             self.pretrained = False
+            self.provenance = f"random-init:seed{seed}"
 
         @jax.jit
         def _features(x):
