@@ -139,12 +139,19 @@ def compute_fvd_lazy(data_fetch, T, num_samples, batch_size=8):
 
 
 def main(args):
-    if args.dataset is None:
-        cfg_path = Path(args.eval_dir) / "model_config.json"
+    cfg = {}
+    cfg_path = Path(args.eval_dir) / "model_config.json"
+    if cfg_path.exists():
         with open(cfg_path) as f:
-            args.dataset = json.load(f)["dataset"]
+            cfg = json.load(f)
+    if args.dataset is None:
+        args.dataset = cfg["dataset"]
+    if args.image_size is None:
+        args.image_size = cfg.get("image_size")  # honour train-time override
     get_ds = get_test_dataset if args.dataset_partition == "test" else get_train_dataset
-    dataset = get_ds(dataset_name=args.dataset, T=args.T)
+    dataset = get_ds(
+        dataset_name=args.dataset, T=args.T, image_size=args.image_size
+    )
     data_fetch = LazyDataFetch(
         dataset=dataset,
         eval_dir=args.eval_dir,
@@ -219,6 +226,7 @@ if __name__ == "__main__":
         choices=["ssim", "lpips", "fvd"],
     )
     parser.add_argument("--obs_length", type=int, required=True)
+    parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--T", type=int, default=None)
     parser.add_argument("--num_samples", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=8)

@@ -1,6 +1,7 @@
 """End-to-end CLI smoke tests (train -> checkpoint -> sample -> eval), run in
-subprocesses like a user would. Heavy (several compiles); enabled with
-VDT_E2E=1 — the driver/CI runs the fast suite by default."""
+subprocesses like a user would. The heaviest test in the default suite
+(several subprocess compiles, tiny shapes, CPU); set VDT_SKIP_E2E=1 to skip
+during fast iteration."""
 
 import json
 import os
@@ -12,7 +13,7 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("VDT_E2E"), reason="set VDT_E2E=1 to run e2e CLI tests"
+    bool(os.environ.get("VDT_SKIP_E2E")), reason="VDT_SKIP_E2E set"
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -25,6 +26,9 @@ def run(cmd, **env):
         PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
         **env,
     )
+    # the in-process suite forces an 8-device virtual CPU mesh via conftest;
+    # the CLI subprocesses must see a plain single-device CPU host
+    full_env.pop("XLA_FLAGS", None)
     r = subprocess.run(
         cmd, cwd=REPO, env=full_env, capture_output=True, text=True, timeout=3000
     )
@@ -56,18 +60,21 @@ def test_train_sample_eval_roundtrip(tmp_path):
          "--batch_size", "1", "--timestep_respacing", "ddim5",
          "--use_bf16", "False", "--eval_dir", str(tmp_path / "eval")],
     )
-    samples = list((tmp_path / "eval" / "samples").glob("sample_*.npy"))
+    # samples land under the config-derived run identifier
+    # (<mode>_<max_frames>_<step_size>_<T>_<obs_length>, test_util.py:109-132)
+    eval_dir = tmp_path / "eval" / "autoreg_5_2_10_2"
+    samples = list((eval_dir / "samples").glob("sample_*.npy"))
     assert len(samples) == 1
     arr = np.load(samples[0])
     assert arr.shape == (10, 3, 32, 32) and arr.dtype == np.uint8
-    assert (tmp_path / "eval" / "model_config.json").exists()
-    cfg = json.loads((tmp_path / "eval" / "model_config.json").read_text())
+    assert (eval_dir / "model_config.json").exists()
+    cfg = json.loads((eval_dir / "model_config.json").read_text())
     assert cfg["dataset"] == "synthetic"
 
     run(
         [sys.executable, "scripts/video_eval.py", "--eval_dir",
-         str(tmp_path / "eval"), "--obs_length", "2", "--T", "10",
+         str(eval_dir), "--obs_length", "2", "--T", "10",
          "--modes", "ssim"],
     )
-    pkls = list((tmp_path / "eval").glob("metrics_*.pkl"))
+    pkls = list(eval_dir.glob("metrics_*.pkl"))
     assert len(pkls) == 1
