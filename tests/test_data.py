@@ -122,3 +122,63 @@ def test_logger_kv_semantics(tmp_path):
         pass
     assert "wait_myscope" in logger.getkvs()
     logger.reset()
+
+
+def test_bair_png_dir_layout(tmp_path):
+    """BairPushingDataset must read the reference converter's per-clip PNG
+    tree (<split>/<tfrecord-stem>/<k>/<i>.png, reference
+    datasets/convert_bair.py:15-59), with numeric frame ordering."""
+    from PIL import Image
+
+    from video_diffusion_tpu.data.datasets import BairPushingDataset
+
+    root = tmp_path / "test"
+    n_frames = 12  # >10 so lexicographic ordering would scramble frames
+    for stem, k in (("traj_0_to_255", 1), ("traj_0_to_255", 2),
+                    ("traj_256_to_511", 1)):
+        d = root / stem / str(k)
+        d.mkdir(parents=True)
+        for i in range(n_frames):
+            arr = np.full((64, 64, 3), i * 20, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    ds = BairPushingDataset(train=False, path=str(root), T=n_frames)
+    assert len(ds) == 3
+    video, _ = ds[0]
+    video = np.asarray(video)
+    assert video.shape == (n_frames, 64, 64, 3)
+    assert video.min() >= -1.0 and video.max() <= 1.0
+    # frame i has constant value i*20 -> [-1,1]; ordering must be numeric
+    expect = np.array([i * 20 / 255.0 * 2 - 1 for i in range(n_frames)])
+    np.testing.assert_allclose(video.mean(axis=(1, 2, 3)), expect, atol=1e-6)
+
+    # sharding slices the clip list
+    ds_half = BairPushingDataset(train=False, path=str(root), T=n_frames,
+                                 shard=0, num_shards=2)
+    assert len(ds_half) == 2
+
+
+def test_bair_pt_csv_layout(tmp_path):
+    """The carla-style .pt+csv layout keeps working through the same class."""
+    import torch
+
+    from video_diffusion_tpu.data.datasets import BairPushingDataset
+
+    root = tmp_path / "train"
+    root.mkdir()
+    vids = []
+    for i in range(2):
+        v = np.random.default_rng(i).integers(
+            0, 255, (6, 64, 64, 3), dtype=np.uint8
+        )
+        torch.save(torch.from_numpy(v), root / f"video_{i:05d}.pt")
+        vids.append(v)
+    (root / "video_train.csv").write_text(
+        "video_00000.pt\nvideo_00001.pt\n"
+    )
+    ds = BairPushingDataset(train=True, path=str(root), T=6)
+    assert len(ds) == 2
+    video, _ = ds[0]
+    np.testing.assert_allclose(
+        np.asarray(video), vids[0].astype(np.float32) / 255 * 2 - 1, atol=1e-6
+    )

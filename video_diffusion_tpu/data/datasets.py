@@ -260,7 +260,52 @@ class CarlaDataset(BaseDataset):
         return len(self.fnames)
 
 
-BairPushingDataset = CarlaDataset
+class BairPushingDataset(CarlaDataset):
+    """BAIR robot pushing, preloaded in RAM. Reads either on-disk layout:
+
+    * carla-style ``video_<split>.csv`` + per-clip ``.pt`` tensors — what the
+      reference's BairPushingDataset itself consumes
+      (reference image_datasets.py:573-609) and what our
+      datasets/convert_bair.py emits;
+    * the reference converter's per-clip PNG directory tree
+      ``<split>/<tfrecord-stem>/<k>/<i>.png``
+      (reference datasets/convert_bair.py:15-59), so data converted with the
+      reference tooling works unmodified.
+    """
+
+    def __init__(self, train, path, shard=0, num_shards=1, image_size=None,
+                 T=None):
+        split_csv = Path(path) / f"video_{'train' if train else 'test'}.csv"
+        if os.path.exists(split_csv) or os.path.exists(
+            BaseDataset.get_src_path(split_csv)
+        ):
+            super().__init__(train, path, shard, num_shards, image_size, T)
+            return
+        BaseDataset.__init__(self, path=path, T=T)
+        self.image_size = image_size
+        root = Path(path)
+        clip_dirs = sorted(
+            p.parent for p in root.glob("*/*/0.png")
+        ) or sorted(p.parent for p in root.glob("*/0.png"))
+        assert clip_dirs, (
+            f"no BAIR data under {path}: neither video_*.csv (+.pt clips) "
+            "nor per-clip PNG dirs (<stem>/<k>/<i>.png)"
+        )
+        self.fnames = [str(d.relative_to(root)) for d in clip_dirs]
+        self.fnames = self.fnames[shard::num_shards]
+        self.videos = [
+            self.postprocess_video(self._load_png_clip(root / f))
+            for f in self.fnames
+        ]
+
+    @staticmethod
+    def _load_png_clip(clip_dir):
+        from PIL import Image
+
+        frames = sorted(clip_dir.glob("*.png"), key=lambda p: int(p.stem))
+        return np.stack(
+            [np.asarray(Image.open(f).convert("RGB")) for f in frames]
+        )  # (T, H, W, C) uint8
 
 
 class CarlaVariableLengthDataset(BaseDataset):
