@@ -1,0 +1,188 @@
+"""Multi-chip (8 virtual CPU devices) hardening beyond the basic DP step:
+checkpoint save/restore under the mesh, multi-device parallel-windows
+sampling, and a multi-step overfit sanity run — the semantics the reference
+gets from DDP allreduce + rank-0 save
+(/root/reference/improved_diffusion/train_util.py:133-151, :554-589)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_diffusion_tpu.parallel import mesh as mesh_lib
+from video_diffusion_tpu.training.train_loop import (
+    TrainState,
+    build_train_step,
+    make_optimizer,
+)
+
+
+def _make_batch(B, F=5, size=32, t_val=50, key=0):
+    k = jax.random.PRNGKey(key)
+    x = jax.random.uniform(k, (B, F, size, size, 3), minval=-1, maxval=1)
+    e = (1, 1, 1)
+    obs = jnp.zeros((B, F, *e)).at[:, :2].set(1.0)
+    latent = jnp.zeros((B, F, *e)).at[:, 2:].set(1.0)
+    return {
+        "x": x,
+        "frame_indices": jnp.broadcast_to(jnp.arange(F)[None], (B, F)),
+        "obs_mask": obs,
+        "latent_mask": latent,
+        "kinda_marg_mask": jnp.zeros((B, F, *e)),
+        "t": jnp.full((B,), t_val, dtype=jnp.int32),
+        "weights": jnp.ones((B,)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_video_model_and_diffusion, tiny_video_variables):
+    model, diffusion = tiny_video_model_and_diffusion
+    params = tiny_video_variables["params"]
+    optimizer = make_optimizer(1e-4, 0.0, 1000)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params),),
+    )
+    return model, diffusion, optimizer, state
+
+
+def test_checkpoint_roundtrip_under_mesh(tmp_path, setup):
+    """Train a sharded step -> save (process-0-style device_get) -> restore
+    into a fresh replicated state -> continue training. Mirrors a real
+    crash/resume on a pod."""
+    from video_diffusion_tpu.utils import checkpoint as ckpt_lib
+
+    assert jax.device_count() >= 8
+    model, diffusion, optimizer, state = setup
+    mesh = mesh_lib.make_mesh()
+    step = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9,), "x_0", True, 1)
+    )
+    state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    batch = mesh_lib.shard_batch(_make_batch(8), mesh)
+    state1, m1 = step(state, batch, jax.random.PRNGKey(0))
+
+    ckpt_lib.save_checkpoint(
+        tmp_path,
+        params=jax.device_get(state1.params),
+        ema_params=[jax.device_get(state1.ema_params[0])],
+        ema_rates=[0.9],
+        opt_state=jax.device_get(state1.opt_state),
+        config={"dataset": "synthetic"},
+        step=1,
+        save_latest_only=True,
+    )
+
+    loaded = ckpt_lib.load_checkpoint(tmp_path / "model_latest.pt")
+    opt_loaded = ckpt_lib.load_opt_state(tmp_path / "opt_latest.pt")
+    ema_loaded = ckpt_lib.load_checkpoint(
+        tmp_path / "ema_0.9_latest.pt"
+    )["state_dict"]
+    restored = TrainState(
+        step=jnp.asarray(loaded["step"], jnp.int32),
+        params=jax.tree_util.tree_map(jnp.asarray, loaded["state_dict"]),
+        opt_state=jax.tree_util.tree_map(
+            lambda ref, x: jnp.asarray(x).astype(ref.dtype)
+            if hasattr(ref, "dtype") else x,
+            jax.device_get(state1.opt_state),
+            opt_loaded,
+        ),
+        ema_params=(jax.tree_util.tree_map(jnp.asarray, ema_loaded),),
+    )
+    restored = jax.device_put(restored, mesh_lib.replicated_sharding(mesh))
+
+    # restored state identical to the live one
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state1.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and training continues identically from either
+    state2a, m2a = step(state1, batch, jax.random.PRNGKey(1))
+    state2b, m2b = step(restored, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(m2a["loss"]), np.asarray(m2b["loss"]), rtol=1e-5, atol=1e-6
+    )
+    assert int(np.asarray(state2b.step)) == 2
+
+
+def test_parallel_windows_sampling_multidevice(setup):
+    """sample_video_windows_parallel with the video batch sharded over the
+    'data' mesh axis must produce the same samples as the single-device run
+    (same rng, replicated params)."""
+    from video_diffusion_tpu.sampling.sampler import (
+        compile_schedule,
+        sample_video_windows_parallel,
+    )
+    from video_diffusion_tpu.sampling.strategies import inference_strategies
+
+    from tests.conftest import tiny_video_config
+    from video_diffusion_tpu.ops.diffusion import create_diffusion
+
+    assert jax.device_count() >= 8
+    model, _, _, state = setup
+    # respaced sampler (10 steps) keeps this tractable on the CPU mesh; the
+    # params are respacing-agnostic
+    cfg = tiny_video_config()
+    diffusion = create_diffusion(
+        steps=cfg["diffusion_steps"], timestep_respacing="10"
+    )
+    mesh = mesh_lib.make_mesh()
+    T, obs_length, max_frames = 12, 2, 5
+    strat = inference_strategies["independent"](
+        video_length=T, num_obs=obs_length, max_frames=max_frames, step_size=3
+    )
+    schedule = compile_schedule(iter(strat), max_frames, T)
+
+    B = 8
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(7), (B, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    variables = {"params": state.params}
+    rng = jax.random.PRNGKey(11)
+
+    out_single = np.asarray(
+        sample_video_windows_parallel(
+            model, variables, diffusion, schedule, batch, obs_length, rng
+        )
+    )
+
+    data_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")
+    )
+    batch_sharded = jax.device_put(batch, data_sharding)
+    variables_repl = jax.device_put(
+        variables, mesh_lib.replicated_sharding(mesh)
+    )
+    out_sharded = np.asarray(
+        sample_video_windows_parallel(
+            model, variables_repl, diffusion, schedule, batch_sharded,
+            obs_length, rng,
+        )
+    )
+    assert out_sharded.shape == (B, T, 32, 32, 3)
+    np.testing.assert_allclose(out_single, out_sharded, rtol=2e-3, atol=2e-3)
+
+
+def test_multistep_overfit_loss_decreases(setup):
+    """Three sharded steps on a fixed batch with a fixed noise draw: plain
+    gradient descent on a deterministic objective, so the loss must fall."""
+    assert jax.device_count() >= 8
+    model, diffusion, optimizer, state = setup
+    mesh = mesh_lib.make_mesh()
+    step = jax.jit(
+        build_train_step(model, diffusion, optimizer, (0.9,), "x_0", True, 1)
+    )
+    state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    batch = mesh_lib.shard_batch(_make_batch(8), mesh)
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(np.asarray(metrics["loss"]).mean()))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(np.asarray(state.step)) == 3
