@@ -1,9 +1,16 @@
-"""Timestep importance samplers (reference improved_diffusion/resample.py).
+"""Timestep importance samplers.
 
-Host-side numpy: the reference also samples timesteps on host
-(resample.py:38-53). The loss-aware sampler's cross-rank all_gather
-(resample.py:66-106) becomes a ``process_allgather`` when running multi-host;
-single-process it is a no-op.
+Same contract as the reference's schedule samplers
+(/root/reference/improved_diffusion/resample.py): ``sample`` draws per-item
+timesteps plus importance weights keeping the objective unbiased;
+``loss-second-moment`` re-weights draws by sqrt(E[loss^2]) per timestep once
+every timestep has a full loss history. Host-side numpy (the reference
+samples on host too); the cross-rank loss gather becomes a
+``process_allgather`` under multi-host SPMD.
+
+Implementation is this framework's own: the per-timestep loss history is a
+ring buffer of squared losses (the reference shifts a value buffer and
+squares at read time — same mean-of-squares, cheaper update).
 """
 
 import numpy as np
@@ -19,85 +26,78 @@ def create_named_schedule_sampler(name, diffusion):
 
 
 class ScheduleSampler:
-    """Importance-sampling distribution over diffusion timesteps; sampled
-    losses are reweighted so the objective stays unbiased."""
+    """A probability distribution over diffusion timesteps. Sampled losses
+    are divided by (T * p(t)), so any distribution leaves the expected loss
+    unchanged."""
 
     def weights(self):
         raise NotImplementedError
 
     def sample(self, batch_size, rng: np.random.Generator):
-        w = self.weights()
-        p = w / np.sum(w)
-        indices = rng.choice(len(p), size=(batch_size,), p=p)
-        weights = 1.0 / (len(p) * p[indices])
-        return indices.astype(np.int32), weights.astype(np.float32)
+        w = np.asarray(self.weights(), dtype=np.float64)
+        p = w / w.sum()
+        t = rng.choice(len(p), size=(batch_size,), p=p)
+        iw = 1.0 / (len(p) * p[t])
+        return t.astype(np.int32), iw.astype(np.float32)
 
 
 class UniformSampler(ScheduleSampler):
     def __init__(self, diffusion):
         self.diffusion = diffusion
-        self._weights = np.ones([diffusion.num_timesteps])
+        self._w = np.ones(diffusion.num_timesteps)
 
     def weights(self):
-        return self._weights
+        return self._w
 
 
 class LossAwareSampler(ScheduleSampler):
     def update_with_local_losses(self, local_ts, local_losses):
-        """Update the reweighting from a batch of local losses.
-
-        Multi-host: gathers (ts, losses) from all processes so every rank
-        maintains the identical history (reference resample.py:66-106).
-        """
+        """Feed a batch of (t, loss) observations into the history. Under
+        multi-host SPMD every process contributes its local batch and all
+        processes see the union, so the resampling distribution stays
+        identical across hosts (the reference's all_gather,
+        resample.py:66-106)."""
         import jax
 
+        local_ts = np.asarray(local_ts)
+        local_losses = np.asarray(local_losses)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             local_ts = np.asarray(
-                multihost_utils.process_allgather(np.asarray(local_ts))
+                multihost_utils.process_allgather(local_ts)
             ).reshape(-1)
             local_losses = np.asarray(
-                multihost_utils.process_allgather(np.asarray(local_losses))
+                multihost_utils.process_allgather(local_losses)
             ).reshape(-1)
-        self.update_with_all_losses(
-            np.asarray(local_ts).tolist(), np.asarray(local_losses).tolist()
-        )
+        self.update_with_all_losses(local_ts.tolist(), local_losses.tolist())
 
     def update_with_all_losses(self, ts, losses):
         raise NotImplementedError
 
 
 class LossSecondMomentResampler(LossAwareSampler):
-    """Weights ∝ sqrt(E[loss²]) per timestep with uniform smoothing until the
-    history buffer warms up (reference resample.py:125-154)."""
+    """p(t) proportional to sqrt(E[loss(t)^2]) over the last
+    ``history_per_term`` observations, mixed with ``uniform_prob`` of uniform
+    mass; uniform until every timestep's ring buffer has filled once."""
 
     def __init__(self, diffusion, history_per_term=10, uniform_prob=0.001):
         self.diffusion = diffusion
         self.history_per_term = history_per_term
         self.uniform_prob = uniform_prob
-        self._loss_history = np.zeros(
-            [diffusion.num_timesteps, history_per_term], dtype=np.float64
-        )
-        self._loss_counts = np.zeros([diffusion.num_timesteps], dtype=int)
-
-    def weights(self):
-        if not self._warmed_up():
-            return np.ones([self.diffusion.num_timesteps], dtype=np.float64)
-        weights = np.sqrt(np.mean(self._loss_history**2, axis=-1))
-        weights /= np.sum(weights)
-        weights *= 1 - self.uniform_prob
-        weights += self.uniform_prob / len(weights)
-        return weights
+        T = diffusion.num_timesteps
+        self._sq = np.zeros((T, history_per_term))  # ring buffer of loss^2
+        self._seen = np.zeros(T, dtype=np.int64)    # total writes per t
 
     def update_with_all_losses(self, ts, losses):
         for t, loss in zip(ts, losses):
-            if self._loss_counts[t] == self.history_per_term:
-                self._loss_history[t, :-1] = self._loss_history[t, 1:]
-                self._loss_history[t, -1] = loss
-            else:
-                self._loss_history[t, self._loss_counts[t]] = loss
-                self._loss_counts[t] += 1
+            self._sq[t, self._seen[t] % self.history_per_term] = float(loss) ** 2
+            self._seen[t] += 1
 
-    def _warmed_up(self):
-        return (self._loss_counts == self.history_per_term).all()
+    def weights(self):
+        T = self.diffusion.num_timesteps
+        if (self._seen < self.history_per_term).any():
+            return np.ones(T)
+        w = np.sqrt(self._sq.mean(axis=1))
+        w = w / w.sum() * (1.0 - self.uniform_prob)
+        return w + self.uniform_prob / T
