@@ -264,12 +264,6 @@ class Logger:
         for s in self.sinks:
             s.line(text)
 
-    def set_level(self, level):
-        self.level = level
-
-    def get_dir(self):
-        return self.dir
-
     def close(self):
         for s in self.sinks:
             s.close()
@@ -311,28 +305,22 @@ def log(*args, level=INFO):
     get_current().log(*args, level=level)
 
 
-def debug(*args):
-    log(*args, level=DEBUG)
+def _at_level(lvl):
+    def write(*args):
+        log(*args, level=lvl)
+
+    return write
 
 
-def info(*args):
-    log(*args, level=INFO)
-
-
-def warn(*args):
-    log(*args, level=WARN)
-
-
-def error(*args):
-    log(*args, level=ERROR)
+debug, info, warn, error = map(_at_level, (DEBUG, INFO, WARN, ERROR))
 
 
 def set_level(level):
-    get_current().set_level(level)
+    get_current().level = level
 
 
 def get_dir():
-    return get_current().get_dir()
+    return get_current().dir
 
 
 record_tabular = logkv
