@@ -160,7 +160,24 @@ class ImageTrainLoop:
             donate_argnums=(0,),
         )
 
+    def _log_pending(self):
+        if self._pending is None:
+            return
+        metrics, t, step = self._pending
+        self._pending = None
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_local_losses(
+                t, np.asarray(metrics["loss"])
+            )
+        logger.logkv("step", step)
+        for k, v in metrics.items():
+            logger.logkv_mean(k, float(np.asarray(v).mean()))
+
     def run_loop(self):
+        # pipelined like TrainLoop.run_step: metrics of step N-1 are
+        # materialised only after step N is dispatched, so the host-side
+        # batch prep overlaps device compute
+        self._pending = None
         while self.step < self.iterations and (
             not self.lr_anneal_steps or self.step < self.lr_anneal_steps
         ):
@@ -178,21 +195,18 @@ class ImageTrainLoop:
             dev_batch = mesh_lib.shard_batch(dev_batch, self.mesh)
             self.jrng, srng = jax.random.split(self.jrng)
             self.state, metrics = self._step_fn(self.state, dev_batch, srng)
-            if isinstance(self.schedule_sampler, LossAwareSampler):
-                self.schedule_sampler.update_with_local_losses(
-                    t, np.asarray(metrics["loss"])
-                )
-            logger.logkv("step", self.step)
+            self._log_pending()
+            self._pending = (metrics, t, self.step)
             logger.logkv("timing/step_time", time.time() - t0)
-            for k, v in metrics.items():
-                logger.logkv_mean(k, float(np.asarray(v).mean()))
             if self.step % self.log_interval == 0:
+                self._log_pending()
                 logger.dumpkvs()
             if self.step % self.save_interval == 0:
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                     return
             self.step += 1
+        self._log_pending()
         if (self.step - 1) % self.save_interval != 0:
             self.save()
 
