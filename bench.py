@@ -99,12 +99,18 @@ def main():
     out = fn(variables, batch, jax.random.PRNGKey(2))
     out.block_until_ready()
 
+    profile_dir = os.environ.get("VDT_PROFILE_DIR", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fn(variables, batch, jax.random.PRNGKey(3 + i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace -> {profile_dir}", file=sys.stderr)
 
     frames_generated = B * (T - obs_length)
     n_chips = jax.local_device_count()
