@@ -23,6 +23,7 @@ Divergences (documented):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -415,7 +416,8 @@ class FactorizedAttentionBlock(nn.Module):
         x = RPEAttention(
             channels=C,
             num_heads=self.num_heads,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas
+            and os.environ.get("VDT_PALLAS_ATTN_SPATIAL", "1") == "1",
             dtype=self.dtype,
             name="spatial_attention",
         )(x, capture_attn=capture_attn)

@@ -30,10 +30,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pick_tile(D, T, C, budget_bytes=6 * 2**20):
+import os
+
+_TILE_MB = float(os.environ.get("VDT_ATTN_TILE_MB", "6"))
+
+
+def _pick_tile(D, T, C, budget_bytes=None):
     """Largest divisor of D whose tile fits the VMEM budget (empirical
     accounting: ~12 f32 copies of the (T, C) pixel row live at once, plus
-    attention scratch, plus double-buffered in/out blocks)."""
+    attention scratch, plus double-buffered in/out blocks). Budget tunable
+    via VDT_ATTN_TILE_MB."""
+    if budget_bytes is None:
+        budget_bytes = int(_TILE_MB * 2**20)
     per_pixel = T * C * 4 * 12 + T * T * 4 * 6
     max_dt = max(1, budget_bytes // max(per_pixel, 1))
     dt = int(min(D, max_dt))
