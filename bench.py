@@ -90,11 +90,21 @@ def main():
     # program also contains the model exactly once, which keeps the HLO
     # small). Params cross the jit boundary as arguments — closure capture
     # would embed them as constants and overflow the remote-compile tunnel.
-    fn = jax.jit(
-        lambda v, b, r: sample_video_windows_parallel(
-            model, v, diffusion, schedule, b, obs_length, r
+    # BENCH_T_CHUNK splits the timestep scan into chunks of that many steps,
+    # each its own device call: required for configs whose single fused
+    # execution would exceed the remote tunnel's ~60s per-call deadline
+    # (B>10 at DDIM-250 — see BENCH.md), at a few host dispatches of cost.
+    t_chunk = int(os.environ.get("BENCH_T_CHUNK", "0"))
+    if t_chunk:
+        fn = lambda v, b, r: sample_video_windows_parallel(  # noqa: E731
+            model, v, diffusion, schedule, b, obs_length, r, t_chunk=t_chunk
         )
-    )
+    else:
+        fn = jax.jit(
+            lambda v, b, r: sample_video_windows_parallel(
+                model, v, diffusion, schedule, b, obs_length, r
+            )
+        )
     # compile + warmup
     out = fn(variables, batch, jax.random.PRNGKey(2))
     out.block_until_ready()

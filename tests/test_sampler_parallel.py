@@ -71,3 +71,17 @@ def test_parallel_matches_sequential_statistics(tiny):
     s_par = par.std(axis=(0, 1, 3, 4, 5))
     np.testing.assert_allclose(m_seq, m_par, atol=0.12)
     np.testing.assert_allclose(s_seq, s_par, atol=0.12)
+
+
+def test_chunked_scan_exact_parity(tiny):
+    """t_chunk splits the reverse scan into multiple device calls while
+    carrying (x, rng): the rng stream and arithmetic are unchanged, so the
+    output must be bit-identical to the single-scan rollout."""
+    model, variables, diffusion = tiny
+    schedule, batch = _setup(T=8, B=2, obs=2, step=3, max_frames=5)
+    r = jax.random.PRNGKey(7)
+    single = np.asarray(sample_video_windows_parallel(
+        model, variables, diffusion, schedule, batch, 2, r))
+    chunked = np.asarray(sample_video_windows_parallel(
+        model, variables, diffusion, schedule, batch, 2, r, t_chunk=2))
+    np.testing.assert_allclose(single, chunked, atol=1e-5, rtol=1e-5)

@@ -178,6 +178,85 @@ def _denoise_window(
     return x
 
 
+# Chunk runners memoised per (model, diffusion, flags): a fresh jax.jit per
+# rollout would retrace every call. Keyed on object ids — both live for the
+# process lifetime in every caller.
+_CHUNK_RUNNERS = {}
+
+
+def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
+                      use_gradient_method, regenerate_cond):
+    key = (
+        id(model), id(diffusion), observed_frames, clip_denoised,
+        use_gradient_method, regenerate_cond,
+    )
+    if key in _CHUNK_RUNNERS:
+        return _CHUNK_RUNNERS[key]
+
+    @jax.jit
+    def run(variables, x0, obs_mask, latent_mask, frame_indices, x, rng, ts):
+        B = x0.shape[0]
+        model_fn = _window_model_fn(
+            model, variables, diffusion, x0, obs_mask, latent_mask,
+            frame_indices, observed_frames, use_gradient_method,
+        )
+
+        def body(carry, i):
+            x, rng = carry
+            rng, srng, crng = jax.random.split(rng, 3)
+            t = jnp.full((B,), i, dtype=jnp.int32)
+            if use_gradient_method:
+                out = diffusion.p_sample_with_gradient_guidance(
+                    model_fn, x, t, srng, obs_mask=obs_mask, x_t_minus_1=x0,
+                    clip_denoised=clip_denoised,
+                )
+            else:
+                fn = (
+                    (lambda xx, tt: model_fn(xx, tt, rng=crng))
+                    if regenerate_cond
+                    else model_fn
+                )
+                out = diffusion.p_sample(fn, x, t, srng,
+                                         clip_denoised=clip_denoised)
+            return (out["sample"], rng), None
+
+        (x2, rng2), _ = jax.lax.scan(body, (x, rng), ts)
+        return x2, rng2
+
+    _CHUNK_RUNNERS[key] = run
+    return run
+
+
+def _denoise_window_chunked(
+    model, variables, diffusion, x0, obs_mask, latent_mask, frame_indices,
+    rng, t_chunk, *, observed_frames="x_0", clip_denoised=True,
+    use_gradient_method=False, regenerate_cond=False,
+):
+    """_denoise_window split into ceil(K / t_chunk) device calls.
+
+    The single-scan rollout is one device execution of
+    O(num_timesteps x model) — on remote-execution setups with a per-call
+    deadline (this image's tunnel kills executions over ~60s; see BENCH.md
+    'batch > 8'), long scans die as opaque device errors. Chunking carries
+    (x, rng) across smaller scans; the rng stream and arithmetic are
+    IDENTICAL to the single scan (parity-tested), at a few host dispatches
+    per window.
+    """
+    runner = _get_chunk_runner(
+        model, diffusion, observed_frames, clip_denoised, use_gradient_method,
+        regenerate_cond,
+    )
+    K = diffusion.num_timesteps
+    ts_full = jnp.arange(K - 1, -1, -1)
+    x = x0
+    for lo in range(0, K, t_chunk):
+        x, rng = runner(
+            variables, x0, obs_mask, latent_mask, frame_indices, x, rng,
+            ts_full[lo : lo + t_chunk],
+        )
+    return x
+
+
 def _bcast_masks(obs_m, lat_m, fidx, B):
     e = (1, 1, 1)
     F = obs_m.shape[-1]
@@ -451,6 +530,7 @@ def sample_video_windows_parallel(
     observed_frames="x_0",
     clip_denoised=True,
     use_gradient_method=False,
+    t_chunk=None,
 ):
     """All-windows-at-once rollout for strategies that only condition on the
     originally observed frames ('independent' / 'really-independent'): the S
@@ -480,13 +560,22 @@ def sample_video_windows_parallel(
         ).reshape(B * S, F, *e)
         frame_indices = jnp.broadcast_to(fidx[None], (B, S, F)).reshape(B * S, F)
         rng, wrng = jax.random.split(rng)
-        local = _denoise_window(
-            model, variables, diffusion, x0, obs_mask, latent_mask,
-            frame_indices, wrng,
-            observed_frames=observed_frames,
-            clip_denoised=clip_denoised,
-            use_gradient_method=use_gradient_method,
-        )
+        if t_chunk:
+            local = _denoise_window_chunked(
+                model, variables, diffusion, x0, obs_mask, latent_mask,
+                frame_indices, wrng, t_chunk,
+                observed_frames=observed_frames,
+                clip_denoised=clip_denoised,
+                use_gradient_method=use_gradient_method,
+            )
+        else:
+            local = _denoise_window(
+                model, variables, diffusion, x0, obs_mask, latent_mask,
+                frame_indices, wrng,
+                observed_frames=observed_frames,
+                clip_denoised=clip_denoised,
+                use_gradient_method=use_gradient_method,
+            )
         local = local.reshape((B, S, F) + batch.shape[2:])
         scat = jnp.asarray(seg.scatter_indices).reshape(-1)  # (S*F,)
         samples = samples.at[:, scat].set(
