@@ -48,6 +48,11 @@ def main():
     T, size, max_frames, step_size, obs_length = 30, 64, 20, 7, 2
     B = int(os.environ.get("BENCH_BATCH", "8"))
     respace = os.environ.get("BENCH_RESPACE", "ddim250")
+    # HOSTLOOP_SYNC=1: block on every p_sample (frameworks that synchronise
+    # per step); HOSTLOOP_FP32=1: fp32 compute like the reference's sampler
+    # (no autocast in its p_sample loop)
+    sync = os.environ.get("HOSTLOOP_SYNC", "0") == "1"
+    fp32 = os.environ.get("HOSTLOOP_FP32", "0") == "1"
 
     defaults = factory.video_model_and_diffusion_defaults()
     defaults.update(
@@ -58,7 +63,7 @@ def main():
     sig = inspect.signature(factory.create_video_model_and_diffusion)
     kwargs = {k: defaults[k] for k in sig.parameters if k in defaults}
     model, diffusion = factory.create_video_model_and_diffusion(
-        **kwargs, use_bf16=True
+        **kwargs, use_bf16=not fp32
     )
 
     rng = jax.random.PRNGKey(0)
@@ -112,11 +117,15 @@ def main():
                 fidx = seg.frame_indices[s]
                 # host-side window assembly (reference video_sample.py:104-146)
                 x0_win = jnp.asarray(samples[:, fidx])
-                obs_m = jnp.asarray(
-                    seg.obs_mask[s].reshape(1, Fw, *e), dtype=jnp.float32
+                obs_m = jnp.broadcast_to(
+                    jnp.asarray(seg.obs_mask[s].reshape(1, Fw, *e),
+                                dtype=jnp.float32),
+                    (B, Fw, *e),
                 )
-                lat_m = jnp.asarray(
-                    seg.latent_mask[s].reshape(1, Fw, *e), dtype=jnp.float32
+                lat_m = jnp.broadcast_to(
+                    jnp.asarray(seg.latent_mask[s].reshape(1, Fw, *e),
+                                dtype=jnp.float32),
+                    (B, Fw, *e),
                 )
                 marg_m = jnp.zeros_like(obs_m)
                 fidx_dev = jnp.broadcast_to(jnp.asarray(fidx)[None], (B, Fw))
@@ -129,6 +138,8 @@ def main():
                         variables, x0_win, obs_m, lat_m, marg_m, fidx_dev,
                         x, t, sk,
                     )
+                    if sync:
+                        x.block_until_ready()
                 # host scatter at the window boundary (forces the round trip)
                 x_host = np.asarray(x)
                 lat_rows = seg.latent_mask[s] > 0
@@ -155,12 +166,14 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/sec/chip (reference dispatch pattern, same chip)",
         "config": {"B": B, "T": T, "size": size, "respace": respace,
-                   "max_frames": max_frames, "step_size": step_size},
+                   "max_frames": max_frames, "step_size": step_size,
+                   "sync": sync, "fp32": fp32},
         "warmup_s": round(warm_s, 1),
         "seconds_per_rollout": round(dt, 2),
     }
+    name = "hostloop_bench" + ("_sync" if sync else "") + ("_fp32" if fp32 else "")
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "hostloop_bench.json"
+        os.path.dirname(os.path.abspath(__file__)), f"{name}.json"
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
