@@ -76,6 +76,17 @@ def infer_video(args, model, variables, diffusion, batch, rng,
             use_gradient_method=args.use_gradient_method,
             goal_directed="goal-directed" in args.inference_mode,
         )
+    # Remote-execution deadline escapes (BENCH.md "Batch > 10"):
+    # VDT_T_CHUNK=N splits every reverse scan into N-step device calls
+    # (bit-identical output, parity-tested); VDT_ROLLOUT_NO_JIT=1
+    # additionally keeps the rollout host loop eager. On real TPU pods
+    # neither is needed and the single fused program is fastest.
+    t_chunk = int(os.environ.get("VDT_T_CHUNK", "0")) or None
+    wrap = (
+        (lambda f: f)
+        if t_chunk or os.environ.get("VDT_ROLLOUT_NO_JIT", "") == "1"
+        else jax.jit
+    )
     if (
         args.inference_mode in PARALLEL_WINDOW_STRATEGIES
         and not args.no_parallel_windows
@@ -83,20 +94,22 @@ def infer_video(args, model, variables, diffusion, batch, rng,
         # windows never condition on generated frames -> denoise all windows
         # in one batched reverse process (TPU-first; distributionally
         # identical to the sequential order)
-        fn = jax.jit(
+        fn = wrap(
             lambda v, b, r: sample_video_windows_parallel(
                 model, v, diffusion, schedule, b, args.obs_length, r,
                 observed_frames=args.observed_frames,
                 use_gradient_method=args.use_gradient_method,
+                t_chunk=t_chunk,
             )
         )
     else:
-        fn = jax.jit(
+        fn = wrap(
             lambda v, b, r: sample_video(
                 model, v, diffusion, schedule, b, args.obs_length, r,
                 observed_frames=args.observed_frames,
                 use_gradient_method=args.use_gradient_method,
                 goal_directed="goal-directed" in args.inference_mode,
+                t_chunk=t_chunk,
             )
         )
     # params pass through the jit boundary as args (remote-compile size limit)

@@ -85,3 +85,17 @@ def test_chunked_scan_exact_parity(tiny):
     chunked = np.asarray(sample_video_windows_parallel(
         model, variables, diffusion, schedule, batch, 2, r, t_chunk=2))
     np.testing.assert_allclose(single, chunked, atol=1e-5, rtol=1e-5)
+
+
+def test_sequential_chunked_exact_parity(tiny):
+    """sample_video with t_chunk (host-looped windows + chunked scans) must
+    be bit-identical to the fully-scanned rollout: same split order, same
+    arithmetic."""
+    model, variables, diffusion = tiny
+    schedule, batch = _setup(T=8, B=2, obs=2, step=3, max_frames=5)
+    r = jax.random.PRNGKey(3)
+    full = np.asarray(sample_video(
+        model, variables, diffusion, schedule, batch, 2, r))
+    chunked = np.asarray(sample_video(
+        model, variables, diffusion, schedule, batch, 2, r, t_chunk=2))
+    np.testing.assert_allclose(full, chunked, atol=1e-5, rtol=1e-5)

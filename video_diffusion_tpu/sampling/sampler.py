@@ -279,12 +279,16 @@ def sample_video(
     clip_denoised=True,
     use_gradient_method=False,
     goal_directed=False,
+    t_chunk=None,
 ):
     """Rollout over a compiled schedule: one lax.scan per segment, all on
     device.
 
     :param batch: (B, T, H, W, C) ground-truth videos in [-1, 1] (only the
         observed prefix — and frame T-5 for goal-directed modes — is used).
+    :param t_chunk: when set, run windows host-side with the reverse scan
+        split into t_chunk-step device calls (same rng stream — bit-identical
+        output; for remote-execution per-call deadlines, see BENCH.md).
     :return: (B, T, H, W, C) samples in [-1, 1].
     """
     B, T = batch.shape[:2]
@@ -294,6 +298,28 @@ def sample_video(
     if goal_directed:
         # reference fills only frame -5 with ground truth (video_sample.py:72)
         samples = samples.at[:, T - 5].set(batch[:, T - 5])
+
+    if t_chunk:
+        for seg in schedule.segments:
+            for s in range(seg.frame_indices.shape[0]):
+                fidx = jnp.asarray(seg.frame_indices[s])
+                rng, wrng = jax.random.split(rng)
+                x0 = jnp.take(samples, fidx, axis=1)
+                obs_mask, latent_mask, frame_indices = _bcast_masks(
+                    jnp.asarray(seg.obs_mask[s]),
+                    jnp.asarray(seg.latent_mask[s]), fidx, B,
+                )
+                local = _denoise_window_chunked(
+                    model, variables, diffusion, x0, obs_mask, latent_mask,
+                    frame_indices, wrng, t_chunk,
+                    observed_frames=observed_frames,
+                    clip_denoised=clip_denoised,
+                    use_gradient_method=use_gradient_method,
+                )
+                samples = samples.at[
+                    :, jnp.asarray(seg.scatter_indices[s])
+                ].set(local)
+        return samples[:, :T]
 
     for seg in schedule.segments:
         tables = (
