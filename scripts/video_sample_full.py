@@ -41,6 +41,7 @@ def main(args, model, variables, diffusion, dataset, dataset_indices):
         lambda v, b, r: sample_video_horizontal(
             model, v, diffusion, schedule, b, args.obs_length, r,
             vertical_steps=args.vertical_steps,
+            observed_frames=args.observed_frames,
             use_gradient_method=args.use_gradient_method,
             goal_directed="goal-directed" in args.inference_mode,
         )

@@ -4,6 +4,7 @@ re-weighting (reference resample.py:38-53, :125-154 contract)."""
 import numpy as np
 
 from video_diffusion_tpu.training.resample import (
+    HighTMixtureSampler,
     LossSecondMomentResampler,
     UniformSampler,
     create_named_schedule_sampler,
@@ -75,3 +76,29 @@ def test_factory_names():
         create_named_schedule_sampler("loss-second-moment", _FakeDiffusion()),
         LossSecondMomentResampler,
     )
+    assert isinstance(
+        create_named_schedule_sampler("high-t", _FakeDiffusion()),
+        HighTMixtureSampler,
+    )
+
+
+def test_high_t_mixture_band_mass_and_unbiasedness():
+    d = _FakeDiffusion()  # T=20
+    s = create_named_schedule_sampler("high-t-0.5-0.6", d)
+    w = np.asarray(s.weights(), dtype=np.float64)
+    p = w / w.sum()
+    # band [12, 20) carries 0.5 (mixture) + 0.4 * 0.5 (uniform part) = 0.7
+    np.testing.assert_allclose(p[12:].sum(), 0.7, rtol=1e-12)
+    # inside each regime the distribution is flat
+    np.testing.assert_allclose(p[:12], p[0])
+    np.testing.assert_allclose(p[12:], p[12])
+
+    # importance weights keep E[w * f(t)] == E_uniform[f(t)]
+    rng = np.random.default_rng(2)
+    t, iw = s.sample(200_000, rng)
+    f = (np.asarray(t) ** 2).astype(np.float64)
+    est = (iw * f).mean()
+    truth = np.mean(np.arange(d.num_timesteps) ** 2)
+    np.testing.assert_allclose(est, truth, rtol=0.05)
+    # the band actually gets ~70% of the draws
+    np.testing.assert_allclose((t >= 12).mean(), 0.7, atol=0.01)

@@ -161,3 +161,100 @@ def test_trajectory_rollout(tiny):
     # last timestep slice equals the final samples on latent frames
     np.testing.assert_allclose(all_ts[:, -1, 2:], samples[:, 2:], atol=1e-6)
     assert np.isfinite(all_ts).all()
+
+
+def test_horizontal_observed_frames_modes_differ(tiny):
+    """sample_video_horizontal must honor observed_frames: the x_t and
+    x_t_minus_1 conditioning-content modes (reference
+    scripts/video_sample_full.py:299, :656-663) change the result vs x_0."""
+    from video_diffusion_tpu.sampling.sampler import sample_video_horizontal
+
+    model, variables, diffusion = tiny
+    # fresh-init params have zero-init output convs => the net is constant-0
+    # and insensitive to conditioning; perturb every leaf so the model
+    # actually reads its inputs
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ],
+    )
+    T = 8
+    strategy = inference_strategies["autoreg"](
+        video_length=T, num_obs=2, max_frames=5, step_size=3
+    )
+    schedule = compile_schedule(iter(strategy), 5, T)
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(3), (1, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    outs = {}
+    for mode in ("x_0", "x_t", "x_t_minus_1"):
+        out = sample_video_horizontal(
+            model, variables, diffusion, schedule, batch, 2,
+            jax.random.PRNGKey(4), observed_frames=mode,
+        )
+        outs[mode] = np.asarray(out)
+        assert outs[mode].shape == (1, T, 32, 32, 3)
+        assert np.isfinite(outs[mode]).all()
+        # observed prefix always returned as-is
+        np.testing.assert_array_equal(outs[mode][:, :2], np.asarray(batch)[:, :2])
+    # non-default modes feed noised observations to the model -> different output
+    assert np.abs(outs["x_t"][:, 2:] - outs["x_0"][:, 2:]).max() > 1e-4
+    assert np.abs(outs["x_t_minus_1"][:, 2:] - outs["x_0"][:, 2:]).max() > 1e-4
+
+
+def test_video_sample_full_script_threads_observed_frames(tmp_path, monkeypatch):
+    """Regression: scripts/video_sample_full.py must forward
+    --observed_frames into sample_video_horizontal (it used to drop it)."""
+    import importlib
+    import os
+    import pathlib
+    import sys
+    import types
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    monkeypatch.syspath_prepend(scripts_dir)
+    mod = importlib.import_module("video_sample_full")
+
+    captured = {}
+
+    def fake_horizontal(model, v, diffusion, schedule, b, obs_length, r, **kw):
+        captured.update(kw)
+        return jnp.zeros_like(b)
+
+    monkeypatch.setattr(mod, "sample_video_horizontal", fake_horizontal)
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return (np.zeros((8, 32, 32, 3), dtype=np.float32),)
+
+    eval_dir = pathlib.Path(tmp_path)
+    (eval_dir / "samples").mkdir()
+    args = types.SimpleNamespace(
+        inference_mode="autoreg", T=8, obs_length=2, max_frames=5, step_size=3,
+        vertical_steps=0, use_gradient_method=False, batch_size=1,
+        num_samples=1, sample_idx=None, seed=0, eval_dir=eval_dir,
+        observed_frames="x_t_minus_1",
+    )
+
+    class _FakeModel:
+        pass
+
+    from video_diffusion_tpu.ops.diffusion import GaussianDiffusion
+    from video_diffusion_tpu.ops.schedules import (
+        get_named_beta_schedule,
+        space_timesteps,
+    )
+
+    diffusion = GaussianDiffusion.from_betas(
+        get_named_beta_schedule("linear", 100),
+        use_timesteps=space_timesteps(100, "ddim2"),
+    )
+    mod.main(args, _FakeModel(), {}, diffusion, _DS(), [0])
+    assert captured.get("observed_frames") == "x_t_minus_1"

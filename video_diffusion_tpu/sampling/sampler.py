@@ -378,6 +378,10 @@ def sample_video_horizontal(
     samples = samples.at[:, :obs_length].set(batch[:, :obs_length])
     if goal_directed:
         samples = samples.at[:, T - 5].set(batch[:, T - 5])
+    # x_t / x_t_minus_1 conditioning content must be regenerated at every
+    # timestep from fresh noise (reference gaussian_diffusion.py:565-582);
+    # with x_0 the placeholder cond is used and no rng is consumed.
+    regenerate_cond = observed_frames != "x_0"
 
     def seg_tables(seg):
         return (
@@ -410,10 +414,15 @@ def sample_video_horizontal(
 
                 def v_inner(carry2, i):
                     x, rng = carry2
-                    rng, srng = jax.random.split(rng)
+                    rng, srng, crng = jax.random.split(rng, 3)
                     t = jnp.full((B,), i, dtype=jnp.int32)
+                    fn = (
+                        (lambda xx, tt: model_fn(xx, tt, rng=crng))
+                        if regenerate_cond
+                        else model_fn
+                    )
                     out = diffusion.p_sample(
-                        model_fn, x, t, srng, clip_denoised=clip_denoised
+                        fn, x, t, srng, clip_denoised=clip_denoised
                     )
                     return (out["sample"], rng), None
 
@@ -436,7 +445,7 @@ def sample_video_horizontal(
             def h_inner(carry2, step):
                 samples, rng = carry2
                 fidx, obs_m, lat_m, scat = step
-                rng, wrng = jax.random.split(rng)
+                rng, wrng, crng = jax.random.split(rng, 3)
                 x0 = jnp.take(samples, fidx, axis=1)
                 obs_mask, latent_mask, frame_indices = _bcast_masks(
                     obs_m, lat_m, fidx, B
@@ -452,8 +461,13 @@ def sample_video_horizontal(
                         x_t_minus_1=x0, clip_denoised=clip_denoised,
                     )
                 else:
+                    fn = (
+                        (lambda xx, tt: model_fn(xx, tt, rng=crng))
+                        if regenerate_cond
+                        else model_fn
+                    )
                     out = diffusion.p_sample(
-                        model_fn, x0, t, wrng, clip_denoised=clip_denoised
+                        fn, x0, t, wrng, clip_denoised=clip_denoised
                     )
                 samples = samples.at[:, scat].set(out["sample"])
                 return (samples, rng), None

@@ -21,6 +21,13 @@ def create_named_schedule_sampler(name, diffusion):
         return UniformSampler(diffusion)
     elif name == "loss-second-moment":
         return LossSecondMomentResampler(diffusion)
+    elif name == "high-t" or name.startswith("high-t-"):
+        # Framework extension (no reference counterpart): "high-t" or
+        # "high-t-<frac>-<band>", e.g. "high-t-0.5-0.6".
+        parts = name.split("-")
+        frac = float(parts[2]) if len(parts) > 2 else 0.5
+        band = float(parts[3]) if len(parts) > 3 else 0.6
+        return HighTMixtureSampler(diffusion, frac=frac, band_start=band)
     else:
         raise NotImplementedError(f"unknown schedule sampler: {name}")
 
@@ -45,6 +52,33 @@ class UniformSampler(ScheduleSampler):
     def __init__(self, diffusion):
         self.diffusion = diffusion
         self._w = np.ones(diffusion.num_timesteps)
+
+    def weights(self):
+        return self._w
+
+
+class HighTMixtureSampler(ScheduleSampler):
+    """Framework extension — no counterpart in the reference (whose only
+    samplers are uniform and loss-second-moment, resample.py:8-14).
+
+    Oversamples the high-noise band: p(t) is a mixture of ``1 - frac``
+    uniform over all timesteps and ``frac`` uniform over
+    ``[band_start * T, T)``. Importance weights (ScheduleSampler.sample)
+    keep the objective unbiased, so this is pure variance reduction for
+    the band where the observation-conditioning signal lives (the
+    eps-space conditional signal scales as sqrt(alpha_bar_t), which is
+    <0.1% of the loss mass at t in [600, 1000) — see QUALITY.md): the
+    band gets ~frac of the gradient samples instead of ~(1 - band_start).
+    """
+
+    def __init__(self, diffusion, frac=0.5, band_start=0.6):
+        assert 0.0 < frac < 1.0 and 0.0 < band_start < 1.0
+        self.diffusion = diffusion
+        T = diffusion.num_timesteps
+        t0 = int(band_start * T)
+        w = np.full(T, (1.0 - frac) / T)
+        w[t0:] += frac / (T - t0)
+        self._w = w
 
     def weights(self):
         return self._w
