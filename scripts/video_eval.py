@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import video_diffusion_tpu.utils  # noqa: F401
 from video_diffusion_tpu.data import get_test_dataset, get_train_dataset
+from video_diffusion_tpu.eval import metrics
 from video_diffusion_tpu.eval.metrics import psnr as psnr_metric
 from video_diffusion_tpu.eval.metrics import ssim as ssim_metric
 from video_diffusion_tpu.utils.protect import Protect
@@ -132,10 +133,17 @@ def compute_fvd_lazy(data_fetch, T, num_samples, batch_size=8):
             pred_feats[k].append(fx.extract_features(p))
     gt_features = np.concatenate(gt_feats)
     fvd = np.zeros(num_samples)
+    degenerate = False
     for k in range(num_samples):
-        fvd[k] = fx.compute_fvd(np.concatenate(pred_feats[k]), gt_features)
-    return {"fvd": fvd.reshape(1, num_samples, 1),
-            "_provenance/fvd": fx.provenance}
+        feats = np.concatenate(pred_feats[k])
+        degenerate = degenerate or metrics.frechet_degenerate(feats, gt_features)
+        fvd[k] = fx.compute_fvd(feats, gt_features)
+    out = {"fvd": fvd.reshape(1, num_samples, 1),
+           "_provenance/fvd": fx.provenance}
+    if degenerate:
+        # rank-deficient covariance: the value is ~0 regardless of data
+        out["_provenance/fvd_degenerate"] = True
+    return out
 
 
 def main(args):
@@ -145,6 +153,11 @@ def main(args):
         with open(cfg_path) as f:
             cfg = json.load(f)
     if args.dataset is None:
+        if "dataset" not in cfg:
+            raise ValueError(
+                f"Cannot infer the dataset: {cfg_path} is missing or has no "
+                "'dataset' key — pass --dataset explicitly."
+            )
         args.dataset = cfg["dataset"]
     if args.image_size is None:
         args.image_size = cfg.get("image_size")  # honour train-time override

@@ -7,7 +7,9 @@ FileLock; output optimal_schedule.pt is consumed by the samplers
 (sampling/strategies.py optimal_schedule override).
 
 TPU-native speedup vs the reference: all candidate evaluations for one greedy
-iteration are stacked into ONE batched vmap'd VLB computation.
+iteration are stacked into ONE batched vmap'd VLB computation (candidate axis
+padded to a power-of-two bucket, so compiles are O(log max_candidates) for
+the whole search, not one per candidate per iteration).
 """
 
 import argparse
@@ -32,46 +34,65 @@ from video_diffusion_tpu.utils.protect import Protect
 from video_diffusion_tpu.utils.script_util import str2bool
 
 
-def get_mse_for_candidates(
-    model, variables, diffusion, batch, candidates, base_obs, latent_indices,
-    max_frames, t_seq, rng,
-):
-    """Masked eps-MSE for each candidate observation set extension.
+def make_candidate_evaluator(model, diffusion, t_seq):
+    """ONE jitted, candidate-vmapped VLB evaluator for the whole search.
 
-    batch: (B, T, H, W, C); returns (n_candidates,) mean MSE."""
-    B = batch.shape[0]
-    F = max_frames
-    e = (1, 1, 1)
-    mses = []
-    for cand in candidates:
-        obs = sorted(base_obs + [cand])
-        window = obs + list(latent_indices)
-        x0 = np.zeros((B, F) + batch.shape[2:], dtype=np.float32)
-        x0[:, : len(window)] = batch[:, window]
-        om = np.zeros((B, F, *e), dtype=np.float32)
-        om[:, : len(obs)] = 1
-        lm = np.zeros((B, F, *e), dtype=np.float32)
-        lm[:, len(obs) : len(window)] = 1
-        fi = np.zeros((B, F), dtype=np.int32)
-        fi[:, : len(window)] = window
-        def bpd_fn(v, x0j, omj, lmj, fij, r):
+    Candidate windows are stacked on a new leading axis and evaluated in a
+    single compiled call per greedy iteration; the candidate axis is padded
+    to a power-of-two bucket so the number of traces is O(log max_candidates)
+    per window width, not one per candidate per iteration (the reference
+    evaluates hundreds of candidates one synchronous GPU call at a time,
+    video_optimal_schedule.py:142-206)."""
+
+    @jax.jit
+    def run(variables, x0s, oms, lms, fis, rngs):
+        def one(x0j, omj, lmj, fij, r):
             model_fn = make_video_model_fn(
-                model, v, diffusion,
+                model, variables, diffusion,
                 x0=x0j, obs_mask=omj, latent_mask=lmj,
                 kinda_marg_mask=jnp.zeros_like(omj),
                 frame_indices=fij, observed_frames="x_0",
             )
-            return diffusion.calc_bpd_loop_subsampled(
+            out = diffusion.calc_bpd_loop_subsampled(
                 model_fn, x0j, r, latent_mask=lmj, t_seq=t_seq
             )
+            return out["mse"].mean()
 
-        rng, r = jax.random.split(rng)
-        out = jax.jit(bpd_fn)(
-            variables, jnp.asarray(x0), jnp.asarray(om), jnp.asarray(lm),
-            jnp.asarray(fi), r,
-        )
-        mses.append(float(np.asarray(out["mse"]).mean()))
-    return np.array(mses)
+        return jax.vmap(one)(x0s, oms, lms, fis, rngs)
+
+    return run
+
+
+def get_mse_for_candidates(
+    evaluator, variables, batch, candidates, base_obs, latent_indices,
+    max_frames, rng,
+):
+    """Masked eps-MSE for each candidate observation set extension, in one
+    device call. batch: (B, T, H, W, C); returns (n_candidates,) mean MSE."""
+    B = batch.shape[0]
+    F = max_frames
+    e = (1, 1, 1)
+    n = len(candidates)
+    n_pad = 1 << max(0, (n - 1).bit_length())  # pow2 bucket: O(log) traces
+    x0s = np.zeros((n_pad, B, F) + batch.shape[2:], dtype=np.float32)
+    oms = np.zeros((n_pad, B, F, *e), dtype=np.float32)
+    lms = np.zeros((n_pad, B, F, *e), dtype=np.float32)
+    fis = np.zeros((n_pad, B, F), dtype=np.int32)
+    for c, cand in enumerate(candidates):
+        obs = sorted(base_obs + [cand])
+        window = obs + list(latent_indices)
+        x0s[c, :, : len(window)] = batch[:, window]
+        oms[c, :, : len(obs)] = 1
+        lms[c, :, len(obs) : len(window)] = 1
+        fis[c, :, : len(window)] = window
+    if n_pad > n:  # pad with copies of the last candidate
+        x0s[n:], oms[n:], lms[n:], fis[n:] = x0s[n - 1], oms[n - 1], lms[n - 1], fis[n - 1]
+    rngs = jax.random.split(rng, n_pad)
+    mses = evaluator(
+        variables, jnp.asarray(x0s), jnp.asarray(oms), jnp.asarray(lms),
+        jnp.asarray(fis), rngs,
+    )
+    return np.asarray(mses)[:n]
 
 
 def main(args):
@@ -130,6 +151,7 @@ def main(args):
         done_by_step.append(sorted(done))
         done.update(lat_idx)
 
+    evaluator = make_candidate_evaluator(model, diffusion, t_seq.copy())
     rng = jax.random.PRNGKey(args.seed)
     for s in step_ids:
         if s in schedule or s >= len(steps):
@@ -155,8 +177,8 @@ def main(args):
                 break
             rng, r = jax.random.split(rng)
             mses = get_mse_for_candidates(
-                model, variables, diffusion, batch, candidates, base_obs,
-                lat_idx, args.max_frames, t_seq, r,
+                evaluator, variables, batch, candidates, base_obs,
+                lat_idx, args.max_frames, r,
             )
             best = candidates[int(np.argmin(mses))]
             base_obs.append(best)

@@ -182,3 +182,22 @@ def test_bair_pt_csv_layout(tmp_path):
     np.testing.assert_allclose(
         np.asarray(video), vids[0].astype(np.float32) / 255 * 2 - 1, atol=1e-6
     )
+
+
+def test_csv_sink_widens_without_row_cache(tmp_path):
+    """CsvSink re-reads the on-disk file when a new key appears (no
+    unbounded in-memory mirror); earlier rows get empty cells for the new
+    column and data survives the widen."""
+    from video_diffusion_tpu.utils.logger import CsvSink
+
+    path = tmp_path / "progress.csv"
+    s = CsvSink(str(path))
+    s.row({"a": 1})
+    s.row({"a": 2})
+    assert not hasattr(s, "rows")  # no in-memory mirror
+    s.row({"a": 3, "b": 7})  # widen
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == "a,b"
+    assert lines[1:] == ["1,", "2,", "3,7"]
+    s.row({"b": 8})  # append after widen, missing key -> empty cell
+    assert path.read_text().strip().split("\n")[-1] == ",8"

@@ -93,3 +93,31 @@ def test_i3d_shapes_and_fvd_pipeline():
     assert np.isfinite(fvd_val)
     # identical sets -> 0
     assert fx.compute_fvd(f1, f1) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_frechet_degenerate_guard():
+    """16 videos x 400-dim features must be flagged degenerate and warn
+    (VERDICT r2: the function used to return plausible-looking ~0s)."""
+    import warnings
+
+    from video_diffusion_tpu.eval.metrics import (
+        frechet_degenerate,
+        frechet_distance,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(16, 400))
+    b = rng.normal(loc=5.0, size=(16, 400))
+    assert frechet_degenerate(a, b)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        frechet_distance(a, b)
+    assert any("degenerate" in str(x.message) for x in w)
+
+    ok1 = rng.normal(size=(50, 8))
+    ok2 = rng.normal(size=(60, 8))
+    assert not frechet_degenerate(ok1, ok2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        frechet_distance(ok1, ok2)
+    assert not any("degenerate" in str(x.message) for x in w)

@@ -198,3 +198,238 @@ def test_group_norm_silu_tiled_parity():
         ref = group_norm_silu_reference(x, scale, bias, *args)
         got = group_norm_silu(x, scale, bias, *args, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_attention_padded_heads_parity():
+    """F=96 (C=384, H=4 — the flagship's misaligned head width) exercises
+    the 128-lane head-padding weight transform; must stay numerically exact
+    vs the einsum path."""
+    from video_diffusion_tpu.models.unet import RPE, RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 1, 4, 5, 384, 4  # F = 96
+    att = RPEAttention(
+        channels=C, num_heads=H, use_rpe_q=True, use_rpe_k=True,
+        use_rpe_v=True, use_rpe_net=True,
+        allow_interactions_between_padding=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, D, T, C))
+    temb = jax.random.normal(jax.random.PRNGKey(11), (B, T, 32))
+    fi = jnp.asarray(np.array([[0, 3, 6, 9, 12]]))
+    am = jnp.asarray(np.array([[1, 1, 1, 1, 0]], np.float32))
+    v = att.init(jax.random.PRNGKey(12), x, temb, fi, am)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(13), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    ref = att.apply(v, x, temb, fi, am)
+    p = v["params"]
+    pair = fi[:, :, None] - fi[:, None, :]
+    rpe = {
+        nm: RPE(channels=C, num_heads=H, use_rpe_net=True).apply(
+            {"params": p[nm]}, pair, temb, method="get_R"
+        )
+        for nm in ("rpe_k", "rpe_q", "rpe_v")
+    }
+    m = am
+    allowed = m[:, None, :] * m[:, :, None]
+    allowed = allowed + (1 - m[:, None, :]) * (1 - m[:, :, None])
+    mask_bias = jnp.where(allowed > 0, 0.0, -jnp.inf)
+    got = fused_rpe_attention(
+        x, p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"],
+        r_k=rpe["rpe_k"], r_q=rpe["rpe_q"], r_v=rpe["rpe_v"],
+        mask_bias=mask_bias, num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_attention_transposed_io_parity():
+    """in_transposed/out_transposed kernel layout must equal the natural
+    layout result transposed (the factorized-attention fuse-transpose path)."""
+    from video_diffusion_tpu.models.unet import RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 1, 8, 5, 64, 2
+    att = RPEAttention(channels=C, num_heads=H)
+    x = jax.random.normal(jax.random.PRNGKey(20), (B, D, T, C))
+    v = att.init(jax.random.PRNGKey(21), x)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(22), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    p = v["params"]
+    args = (p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+            p["proj_kernel"], p["proj_bias"])
+    base = fused_rpe_attention(x, *args, num_heads=H, interpret=True)
+    xt = x.transpose(0, 2, 1, 3)  # (B, T, D, C)
+    got = fused_rpe_attention(
+        xt, *args, num_heads=H, interpret=True,
+        in_transposed=True, out_transposed=True,
+    )
+    assert got.shape == (B, T, D, C)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base).transpose(0, 2, 1, 3), atol=1e-6
+    )
+
+
+def test_factorized_block_fuse_transpose_einsum_equivalence(monkeypatch):
+    """On CPU the pallas path is skipped, so VDT_ATTN_FUSE_TRANSPOSE must be
+    a pure layout change: FactorizedAttentionBlock output identical with the
+    flag on and off (einsum fallback handles transposed_io itself)."""
+    from video_diffusion_tpu.models.unet import FactorizedAttentionBlock
+
+    B, T, Hh, Ww, C = 1, 4, 4, 4, 64
+    x = jax.random.normal(jax.random.PRNGKey(30), (B, T, Hh, Ww, C))
+    temb = jax.random.normal(jax.random.PRNGKey(31), (B, T, 32))
+    fi = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    am = jnp.ones((B, T), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("VDT_ATTN_FUSE_TRANSPOSE", flag)
+        blk = FactorizedAttentionBlock(
+            channels=C, num_heads=2, use_rpe_net=True, use_pallas=True
+        )
+        v = blk.init(jax.random.PRNGKey(32), x, temb, fi, am)
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        keys = jax.random.split(jax.random.PRNGKey(33), len(leaves))
+        v = jax.tree_util.tree_unflatten(
+            treedef,
+            [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+             for p, k in zip(leaves, keys)],
+        )
+        return np.asarray(blk.apply(v, x, temb, fi, am))
+
+    np.testing.assert_allclose(run("0"), run("1"), atol=1e-6)
+
+
+def test_trainable_attention_gradients():
+    """fused_rpe_attention_trainable: kernel forward (interpret) + einsum
+    backward must match jax.grad of the module's einsum path on every
+    parameter and the input."""
+    from video_diffusion_tpu.models.unet import RPE, RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import (
+        fused_rpe_attention_trainable,
+    )
+
+    B, D, T, C, H = 1, 4, 5, 64, 2
+    att = RPEAttention(
+        channels=C, num_heads=H, use_rpe_q=True, use_rpe_k=True,
+        use_rpe_v=True, use_rpe_net=True,
+        allow_interactions_between_padding=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(40), (B, D, T, C))
+    temb = jax.random.normal(jax.random.PRNGKey(41), (B, T, 32))
+    fi = jnp.asarray(np.array([[0, 2, 4, 8, 16]]))
+    am = jnp.ones((B, T), jnp.float32)
+    v = att.init(jax.random.PRNGKey(42), x, temb, fi, am)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(43), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+
+    def loss_module(variables, xx):
+        return (att.apply(variables, xx, temb, fi, am) ** 2).sum()
+
+    g_ref_v, g_ref_x = jax.grad(loss_module, argnums=(0, 1))(v, x)
+
+    p = v["params"]
+    pair = fi[:, :, None] - fi[:, None, :]
+
+    def loss_fused(params, xx):
+        rpe = {
+            nm: RPE(channels=C, num_heads=H, use_rpe_net=True).apply(
+                {"params": params[nm]}, pair, temb, method="get_R"
+            )
+            for nm in ("rpe_k", "rpe_q", "rpe_v")
+        }
+        m = am
+        allowed = m[:, None, :] * m[:, :, None]
+        allowed = allowed + (1 - m[:, None, :]) * (1 - m[:, :, None])
+        mask_bias = jnp.where(allowed > 0, 0.0, -jnp.inf)
+        out = fused_rpe_attention_trainable(
+            xx, params["norm_scale"], params["norm_bias"],
+            params["qkv_kernel"], params["qkv_bias"],
+            params["proj_kernel"], params["proj_bias"],
+            r_k=rpe["rpe_k"], r_q=rpe["rpe_q"], r_v=rpe["rpe_v"],
+            mask_bias=mask_bias, num_heads=H, interpret=True,
+        )
+        return (out ** 2).sum()
+
+    g_fused_p, g_fused_x = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+
+    np.testing.assert_allclose(
+        np.asarray(g_fused_x), np.asarray(g_ref_x), rtol=2e-3, atol=2e-3
+    )
+    ref_p = g_ref_v["params"]
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_p)
+    flat_fused = dict(jax.tree_util.tree_leaves_with_path(g_fused_p))
+    checked = 0
+    for path, leaf in flat_ref:
+        got = flat_fused[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), rtol=2e-3, atol=2e-3,
+            err_msg=str(path),
+        )
+        checked += 1
+    assert checked >= 8  # gn scale/bias, qkv, proj, 3x RPENet subtrees
+
+
+@pytest.mark.parametrize("dense", ["0", "1"])
+def test_fused_attention_dense_head_packing_parity(monkeypatch, dense):
+    """The head-packed ("dense group") attention section must be numerically
+    identical to the per-head loop variant and the einsum path: off-diagonal
+    head blocks are -1e9-masked so the full-width softmax underflows to
+    EXACT zeros off-block (see kernel comment). Covers RPE + attn-mask and
+    the padded-head F=96 flagship config."""
+    from video_diffusion_tpu.models.unet import RPE, RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    monkeypatch.setenv("VDT_ATTN_DENSE", dense)
+    B, D, T, C, H = 1, 4, 5, 384, 4  # F = 96 -> padded 128
+    att = RPEAttention(
+        channels=C, num_heads=H, use_rpe_q=True, use_rpe_k=True,
+        use_rpe_v=True, use_rpe_net=True,
+        allow_interactions_between_padding=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(60), (B, D, T, C))
+    temb = jax.random.normal(jax.random.PRNGKey(61), (B, T, 32))
+    fi = jnp.asarray(np.array([[0, 3, 6, 9, 12]]))
+    am = jnp.asarray(np.array([[1, 1, 1, 1, 0]], np.float32))
+    v = att.init(jax.random.PRNGKey(62), x, temb, fi, am)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(63), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    ref = att.apply(v, x, temb, fi, am)
+    p = v["params"]
+    pair = fi[:, :, None] - fi[:, None, :]
+    rpe = {
+        nm: RPE(channels=C, num_heads=H, use_rpe_net=True).apply(
+            {"params": p[nm]}, pair, temb, method="get_R"
+        )
+        for nm in ("rpe_k", "rpe_q", "rpe_v")
+    }
+    m = am
+    allowed = m[:, None, :] * m[:, :, None]
+    allowed = allowed + (1 - m[:, None, :]) * (1 - m[:, :, None])
+    mask_bias = jnp.where(allowed > 0, 0.0, -jnp.inf)
+    got = fused_rpe_attention(
+        x, p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"],
+        r_k=rpe["rpe_k"], r_q=rpe["rpe_q"], r_v=rpe["rpe_v"],
+        mask_bias=mask_bias, num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)

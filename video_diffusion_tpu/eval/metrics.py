@@ -7,6 +7,8 @@ decomposition of the symmetrized product (equivalent to scipy.linalg.sqrtm
 for the PSD matrices occurring here).
 """
 
+import warnings
+
 import numpy as np
 from scipy import linalg as _linalg
 
@@ -70,14 +72,34 @@ def psnr(im1, im2, data_range=1.0):
     return 10 * np.log10((data_range**2) / err)
 
 
+def frechet_degenerate(feats1, feats2):
+    """True when either sample count is below the feature dimension: the
+    covariance estimates are rank-deficient and the Fréchet distance
+    collapses toward 0 regardless of the data (e.g. 16 videos x 400-dim
+    I3D features — see QUALITY.md), so the number carries no signal."""
+    feats1, feats2 = np.asarray(feats1), np.asarray(feats2)
+    return min(len(feats1), len(feats2)) < feats1.shape[-1]
+
+
 def frechet_distance(feats1, feats2):
     """Fréchet distance between Gaussians fit to two feature sets
     (reference frechet_video_distance.py:142-203).
+
+    Warns (and see ``frechet_degenerate``) when the sample count is too
+    small for the feature dimension — callers should stamp
+    ``_provenance/fvd_degenerate`` instead of publishing a plausible 0.
 
     :param feats1, feats2: (N, D) feature arrays.
     """
     feats1 = np.asarray(feats1, dtype=np.float64)
     feats2 = np.asarray(feats2, dtype=np.float64)
+    if frechet_degenerate(feats1, feats2):
+        warnings.warn(
+            f"frechet_distance: {min(len(feats1), len(feats2))} samples for "
+            f"{feats1.shape[-1]}-dim features — covariance is rank-deficient "
+            "and the distance is degenerate (≈0 regardless of data).",
+            stacklevel=2,
+        )
     mu1, mu2 = feats1.mean(axis=0), feats2.mean(axis=0)
     sigma1 = np.cov(feats1, rowvar=False)
     sigma2 = np.cov(feats2, rowvar=False)

@@ -25,6 +25,7 @@ model each step and only latent slots are scattered back
 (video_sample.py:184-189).
 """
 
+import collections
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -179,9 +180,13 @@ def _denoise_window(
 
 
 # Chunk runners memoised per (model, diffusion, flags): a fresh jax.jit per
-# rollout would retrace every call. Keyed on object ids — both live for the
-# process lifetime in every caller.
-_CHUNK_RUNNERS = {}
+# rollout would retrace every call. Keyed on object ids; every entry PINS
+# its model/diffusion (strong refs in the value), so a live entry's ids can
+# never be reused by CPython and a stale runner can never alias a new
+# object. Bounded LRU so long-lived processes that rebuild models don't
+# accumulate runners (and their pinned objects) forever.
+_CHUNK_RUNNERS = collections.OrderedDict()  # key -> (runner, model, diffusion)
+_CHUNK_RUNNERS_MAX = 32
 
 
 def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
@@ -191,7 +196,8 @@ def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
         use_gradient_method, regenerate_cond,
     )
     if key in _CHUNK_RUNNERS:
-        return _CHUNK_RUNNERS[key]
+        _CHUNK_RUNNERS.move_to_end(key)
+        return _CHUNK_RUNNERS[key][0]
 
     @jax.jit
     def run(variables, x0, obs_mask, latent_mask, frame_indices, x, rng, ts):
@@ -223,7 +229,9 @@ def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
         (x2, rng2), _ = jax.lax.scan(body, (x, rng), ts)
         return x2, rng2
 
-    _CHUNK_RUNNERS[key] = run
+    _CHUNK_RUNNERS[key] = (run, model, diffusion)
+    while len(_CHUNK_RUNNERS) > _CHUNK_RUNNERS_MAX:
+        _CHUNK_RUNNERS.popitem(last=False)
     return run
 
 

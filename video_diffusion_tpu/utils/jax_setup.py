@@ -3,10 +3,12 @@
 Compilation on single-core hosts is expensive; the on-disk cache makes every
 re-run (tests, CLI scripts, benchmarks) reuse compiled executables.
 
-The cache is skipped for CPU-forced processes (JAX_PLATFORM_NAME=cpu): on
-this image the cache can hold XLA:CPU executables AOT-compiled by the remote
-TPU compile helper with different host machine features, and loading those
-can SIGILL the process.
+CPU-backend processes get their own cache namespace (``<dir>-cpu``): the
+shared dir can hold XLA:CPU executables AOT-compiled by the remote TPU
+compile helper with different host machine features, and loading those can
+SIGILL the process. Gating on the *resolved* backend (not just the
+JAX_PLATFORM_NAME env var) also covers processes that fall back to CPU
+because no TPU is attached or that force CPU via the config API.
 """
 
 import os
@@ -16,10 +18,23 @@ import jax
 _CACHE_DIR = os.environ.get(
     "VDT_JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), "../../.jax_cache")
 )
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() != "cpu":
+
+
+def _resolved_backend():
+    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+        return "cpu"
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - older jax versions
-        pass
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        return "cpu"
+
+
+try:
+    cache_dir = os.path.abspath(_CACHE_DIR)
+    if _resolved_backend() == "cpu":
+        cache_dir += "-cpu"  # never share entries with TPU-process helpers
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - older jax versions
+    pass

@@ -110,23 +110,31 @@ class JsonlSink(Sink):
 
 class CsvSink(Sink):
     """progress.csv with a growing column set: when a dump introduces new
-    keys the whole file is rewritten with the widened header (rows are kept
-    in memory — dumps are O(run minutes), not O(steps))."""
+    keys the existing file is re-read and rewritten with the widened header.
+    No in-memory row mirror — a key first logged days into a run widens the
+    file in one O(file) pass instead of keeping every row cached forever."""
 
     def __init__(self, path):
         self.path = path
         self.columns: list[str] = []
-        self.rows: list[dict] = []
 
     def row(self, kvs):
         new = sorted(k for k in kvs if k not in self.columns)
-        self.rows.append(dict(kvs))
         if new:
+            old_columns = list(self.columns)
             self.columns.extend(new)
+            rows = []
+            if old_columns and os.path.exists(self.path):
+                with open(self.path) as f:
+                    next(f, None)  # header
+                    for line in f:
+                        vals = line.rstrip("\n").split(",")
+                        rows.append(dict(zip(old_columns, vals)))
             with open(self.path, "wt") as f:
                 f.write(",".join(self.columns) + "\n")
-                for r in self.rows:
+                for r in rows:
                     f.write(self._line(r))
+                f.write(self._line(kvs))
         else:
             with open(self.path, "at") as f:
                 f.write(self._line(kvs))
