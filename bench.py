@@ -34,6 +34,10 @@ def main():
     import jax.numpy as jnp
 
     os.environ.setdefault("VDT_PALLAS_ATTN", "1")  # fused attention (inference)
+    # hardware-friendly PRNG for the per-step sampler noise: same normal
+    # distribution, different stream than threefry (fixed-seed outputs
+    # differ; parity/golden tests pin threefry — see utils/jax_setup.py)
+    os.environ.setdefault("VDT_PRNG", "rbg")
 
     import video_diffusion_tpu.utils  # noqa: F401  (compilation cache)
     from video_diffusion_tpu.models import factory

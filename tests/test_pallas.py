@@ -433,3 +433,68 @@ def test_fused_attention_dense_head_packing_parity(monkeypatch, dense):
         mask_bias=mask_bias, num_heads=H, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_dense_auto_gate_small_heads(monkeypatch):
+    """Heads with F < 64 must auto-fall back to the loop variant: the packed
+    layout needs 128-aligned lane slices, which small unpadded heads never
+    get — Mosaic rejects the concat on real TPUs (offset mismatch) even
+    though interpret mode accepts it."""
+    import video_diffusion_tpu.ops.fused_attention as fa
+
+    monkeypatch.setenv("VDT_ATTN_DENSE", "auto")
+    seen = {}
+    orig = fa._fused_rpe_attention_impl
+
+    def spy(*a, **k):
+        seen["dense"] = k.get("dense")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fa, "_fused_rpe_attention_impl", spy)
+    B, D, T, C, H = 1, 4, 5, 128, 4  # F = 32
+    x = jax.random.normal(jax.random.PRNGKey(70), (B, D, T, C))
+    fa.fused_rpe_attention(
+        x, jnp.ones((C,)), jnp.zeros((C,)),
+        jax.random.normal(jax.random.PRNGKey(71), (C, 3 * C)) * 0.05,
+        jnp.zeros((3 * C,)),
+        jax.random.normal(jax.random.PRNGKey(72), (C, C)) * 0.05,
+        jnp.zeros((C,)),
+        num_heads=H, interpret=True,
+    )
+    assert seen["dense"] is False
+    # but H*T <= 128 with wide heads still packs
+    C2 = 512  # F = 128
+    x2 = jax.random.normal(jax.random.PRNGKey(73), (B, D, T, C2))
+    fa.fused_rpe_attention(
+        x2, jnp.ones((C2,)), jnp.zeros((C2,)),
+        jax.random.normal(jax.random.PRNGKey(74), (C2, 3 * C2)) * 0.05,
+        jnp.zeros((3 * C2,)),
+        jax.random.normal(jax.random.PRNGKey(75), (C2, C2)) * 0.05,
+        jnp.zeros((C2,)),
+        num_heads=H, interpret=True,
+    )
+    assert seen["dense"] is True
+
+
+def test_bf16_softmax_close_not_identical():
+    """VDT_ATTN_SOFTMAX=bf16 runs the exp/divide in half precision: outputs
+    must stay within bf16-ish tolerance of the f32 kernel (it is an opt-in
+    inference speed knob, not a parity mode)."""
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 1, 4, 6, 512, 4
+    r = jax.random.PRNGKey(80)
+    x = jax.random.normal(r, (B, D, T, C))
+    wq = jax.random.normal(jax.random.PRNGKey(81), (C, 3 * C)) * 0.05
+    wp = jax.random.normal(jax.random.PRNGKey(82), (C, C)) * 0.05
+    args = (x, jnp.ones((C,)), jnp.zeros((C,)), wq, jnp.zeros((3 * C,)),
+            wp, jnp.zeros((C,)))
+    o32 = fused_rpe_attention(
+        *args, num_heads=H, interpret=True, softmax_mode="f32"
+    )
+    o16 = fused_rpe_attention(
+        *args, num_heads=H, interpret=True, softmax_mode="bf16"
+    )
+    np.testing.assert_allclose(
+        np.asarray(o16), np.asarray(o32), atol=5e-2, rtol=5e-2
+    )

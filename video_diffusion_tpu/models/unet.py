@@ -245,6 +245,9 @@ class RPEAttention(nn.Module):
     bucket_params: Optional[dict] = None
     allow_interactions_between_padding: bool = True
     use_pallas: bool = False  # fused kernel (inference path only)
+    # input/output in (B, T, D, C) token-major layout: the fused kernel
+    # absorbs the factorized-attention transpose into its VMEM tile
+    transposed_io: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _make_rpe(self, name):
@@ -269,7 +272,10 @@ class RPEAttention(nn.Module):
         attn_mask=None,
         capture_attn=False,
     ):
-        B, D, T, C = x.shape
+        if self.transposed_io:
+            B, T, D, C = x.shape
+        else:
+            B, D, T, C = x.shape
         H = self.num_heads
         F = C // H
         scale = F**-0.5
@@ -304,22 +310,28 @@ class RPEAttention(nn.Module):
         if self.use_pallas and not capture_attn and jax.default_backend() in (
             "tpu", "axon",
         ):
-            # fused kernel path (inference): the R tensors are shared across
-            # the pixel axis, so compute them once here and broadcast in
-            from ..ops.fused_attention import fused_rpe_attention
+            # fused kernel path: the R tensors are shared across the pixel
+            # axis, so compute them once here and broadcast in. The
+            # trainable wrapper registers a rematerialized einsum backward,
+            # so this path also serves the training graph (custom_vjp).
+            from ..ops.fused_attention import fused_rpe_attention_trainable
 
             r_k = r_q = r_v = None
             if use_any_rpe:
                 r_k = self._make_rpe("rpe_k").get_R(pairwise_distances, temb)
                 r_q = self._make_rpe("rpe_q").get_R(pairwise_distances, temb)
                 r_v = self._make_rpe("rpe_v").get_R(pairwise_distances, temb)
-            return fused_rpe_attention(
+            return fused_rpe_attention_trainable(
                 x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
                 r_k=r_k, r_q=r_q, r_v=r_v, mask_bias=mask_bias,
                 num_heads=H,
+                in_transposed=self.transposed_io,
+                out_transposed=self.transposed_io,
             )
 
         # ---- reference einsum path (differentiable) ---------------------- #
+        if self.transposed_io:
+            x = x.transpose(0, 2, 1, 3)  # (B, T, D, C) -> (B, D, T, C)
         # pre-norm pooling stats over (T, group-channels) per (b, d)
         xf = x.astype(jnp.float32).reshape(B, D, T, 32, C // 32)
         mean = xf.mean(axis=(2, 4), keepdims=True)
@@ -369,6 +381,8 @@ class RPEAttention(nn.Module):
                 "attn",
                 jnp.abs(attn.astype(jnp.float32)).mean(axis=(1, 2)),
             )
+        if self.transposed_io:
+            x = x.transpose(0, 2, 1, 3)  # back to (B, T, D, C)
         return x
 
 
@@ -395,9 +409,14 @@ class FactorizedAttentionBlock(nn.Module):
     ):
         B, T, Hh, Ww, C = x.shape
         use_rpe = self.use_rpe_net or (self.bucket_params is not None)
-        # temporal: tokens = T, batch = B x (H*W)
-        xt = x.reshape(B, T, Hh * Ww, C).transpose(0, 2, 1, 3)  # (B, HW, T, C)
-        xt = RPEAttention(
+        # temporal: tokens = T, batch = B x (H*W). With fused transposed io
+        # the (B, T, HW, C) activation feeds the kernel directly and the
+        # temporal<->spatial transpose happens inside its VMEM tile.
+        fuse_transpose = (
+            self.use_pallas
+            and os.environ.get("VDT_ATTN_FUSE_TRANSPOSE", "1") == "1"
+        )
+        temporal = RPEAttention(
             channels=C,
             num_heads=self.num_heads,
             use_rpe_q=use_rpe,
@@ -407,11 +426,23 @@ class FactorizedAttentionBlock(nn.Module):
             bucket_params=self.bucket_params,
             allow_interactions_between_padding=self.allow_interactions_between_padding,
             use_pallas=self.use_pallas,
+            transposed_io=fuse_transpose,
             dtype=self.dtype,
             name="temporal_attention",
-        )(xt, temb=temb, frame_indices=frame_indices, attn_mask=attn_mask,
-          capture_attn=capture_attn)
-        x = xt.transpose(0, 2, 1, 3)  # (B, T, HW, C)
+        )
+        if fuse_transpose:
+            x = temporal(
+                x.reshape(B, T, Hh * Ww, C), temb=temb,
+                frame_indices=frame_indices, attn_mask=attn_mask,
+                capture_attn=capture_attn,
+            )  # (B, T, HW, C) in and out
+        else:
+            xt = x.reshape(B, T, Hh * Ww, C).transpose(0, 2, 1, 3)
+            xt = temporal(
+                xt, temb=temb, frame_indices=frame_indices,
+                attn_mask=attn_mask, capture_attn=capture_attn,
+            )
+            x = xt.transpose(0, 2, 1, 3)  # (B, T, HW, C)
         # spatial: tokens = H*W, batch = B x T; no RPE, no mask
         x = RPEAttention(
             channels=C,

@@ -434,6 +434,15 @@ class GaussianDiffusion(struct.PyTreeNode):
         nd = x.ndim
         alpha_bar = self._extract(self.alphas_cumprod, t, nd)
         alpha_bar_prev = self._extract(self.alphas_cumprod_prev, t, nd)
+        if isinstance(eta, (int, float)) and eta == 0.0:
+            # deterministic DDIM: sigma == 0 exactly, so skip the per-step
+            # normal draw entirely. XLA cannot DCE `x * 0` (NaN semantics),
+            # and the counter-based PRNG over the full video tensor is pure
+            # VPU time inside the reverse scan — measurable at DDIM-250.
+            mean_pred = out["pred_xstart"] * jnp.sqrt(alpha_bar_prev) + jnp.sqrt(
+                jnp.maximum(1 - alpha_bar_prev, 0.0)
+            ) * eps
+            return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
         sigma = (
             eta
             * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))

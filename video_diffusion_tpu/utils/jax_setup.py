@@ -38,3 +38,17 @@ try:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:  # pragma: no cover - older jax versions
     pass
+
+# Opt-in PRNG implementation override (VDT_PRNG=rbg|unsafe_rbg|threefry2x32).
+# The default threefry bit generator is counter-based crypto math that costs
+# real VPU time per sampled tensor inside the reverse-process scan; 'rbg'
+# generates on a hardware-friendly path and is the standard TPU speed knob.
+# Same distribution, DIFFERENT stream — fixed-seed outputs change, so this
+# is never flipped silently: default stays threefry (all parity/golden tests
+# assume it), benches A/B it explicitly.
+_prng = os.environ.get("VDT_PRNG", "")
+if _prng:
+    try:
+        jax.config.update("jax_default_prng_impl", _prng)
+    except Exception:  # pragma: no cover - unknown impl name
+        pass
