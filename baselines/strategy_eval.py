@@ -30,7 +30,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(cmd, env_extra=None):
     env = dict(os.environ)
     env.setdefault("VDT_T_CHUNK", "250")
-    env.setdefault("VDT_PALLAS_ATTN", "1")
+    # VDT_PALLAS_ATTN is NOT defaulted on here: the models this driver is
+    # pointed at (bouncy-balls, C=128/H=4 -> F=32) fall below the F>=64
+    # shape gate anyway (models/unet.py use_fused_attention), and the F<64
+    # loop kernel does not finish Mosaic compilation on TPU
+    # (NOTES_ROUND3.md). Opt in from the caller's environment for F>=64
+    # checkpoints.
     if env_extra:
         env.update(env_extra)
     print("+", " ".join(cmd), flush=True)

@@ -44,12 +44,9 @@ def main():
 
     import video_diffusion_tpu.utils  # noqa: F401
     from video_diffusion_tpu.eval.metrics import ssim as ssim_metric
-    from video_diffusion_tpu.models.factory import (
-        create_video_model_and_diffusion,
-        video_model_and_diffusion_defaults,
-    )
     from video_diffusion_tpu.models.wrappers import make_video_model_fn
     from video_diffusion_tpu.utils import checkpoint as ckpt_lib
+    from video_diffusion_tpu.utils import eval_util
 
     ds_path = "datasets/bouncing_balls_100/test.pt"
     vids = torch.load(ds_path)[: args.batch, : args.T].numpy()  # (B,T,1,32,32)
@@ -58,25 +55,16 @@ def main():
     B, T = gt.shape[:2]
 
     for ckpt in args.checkpoints:
-        data = ckpt_lib.load_checkpoint(ckpt)
-        config = dict(video_model_and_diffusion_defaults())
-        config.update(
-            {k: v for k, v in data["config"].items() if k in config}
+        # one shared loader for every surface (scripts AND probes) — the
+        # config->factory filtering lives in eval_util.load_checkpoint only
+        (model, variables, diffusion), model_args, step = (
+            eval_util.load_checkpoint(ckpt)
         )
-        import inspect
-
-        from video_diffusion_tpu.models import factory as _f
-
-        sig = inspect.signature(_f.create_video_model_and_diffusion)
-        kwargs = {k: config[k] for k in sig.parameters if k in config}
-        model, diffusion = create_video_model_and_diffusion(
-            **kwargs, use_bf16=data["config"].get("use_bf16", True)
-        )
-        params = data["state_dict"]
+        params = variables["params"]
         if args.use_ema:
             ema_path = ckpt_lib.find_ema_checkpoint(
-                ckpt, data.get("step", 0),
-                str(data["config"].get("ema_rate", "0.9999")).split(",")[0],
+                ckpt, step,
+                str(getattr(model_args, "ema_rate", "0.9999")).split(",")[0],
                 save_latest_only="latest" in os.path.basename(ckpt),
             )
             if ema_path:
@@ -94,8 +82,8 @@ def main():
             model_fn = make_video_model_fn(
                 model, {"params": p}, diffusion, x0=x0j, obs_mask=obs,
                 latent_mask=latent, kinda_marg_mask=marg, frame_indices=fi,
-                observed_frames=data["config"].get(
-                    "observed_frames", "x_t_minus_1"
+                observed_frames=getattr(
+                    model_args, "observed_frames", "x_t_minus_1"
                 ),
             )
             return diffusion.p_sample_loop(model_fn, x0j.shape, r)
@@ -115,7 +103,6 @@ def main():
             return float(np.mean(vals))
 
         gt_roll = np.roll(gt, 1, axis=0)  # unrelated video at same index
-        step = data.get("step", "?")
         print(f"\n== {ckpt} (step {step}) ==")
         obs_mae = float(np.abs(out[:, : args.n_obs] - gt[:, : args.n_obs]).mean())
         print(f"obs-frame copy MAE: {obs_mae:.5f} (should be ~0)")

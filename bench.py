@@ -144,7 +144,12 @@ def main():
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
         "value": round(fps, 3),
-        "unit": "frames/sec/chip (BAIR 64x64, independent s7, DDIM-250)",
+        "unit": (
+            "frames/sec/chip (BAIR 64x64, independent s7, DDIM-250); "
+            "vs_baseline = ratio over the torch fp32 reference on a "
+            "1-core host CPU (baselines/reference_bench.json), NOT "
+            "equivalent silicon"
+        ),
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
 

@@ -20,6 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Production default matches bench.py: 'rbg' sampler noise is the standard
+# TPU PRNG speed knob (same normal distribution, DIFFERENT stream than
+# threefry — fixed-seed sample files change vs pre-round-4 runs). Export
+# VDT_PRNG=threefry2x32 to reproduce old streams.
+os.environ.setdefault("VDT_PRNG", "rbg")
+
 import jax
 
 import video_diffusion_tpu.utils  # noqa: F401  (jax compilation cache)

@@ -16,6 +16,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# same production PRNG default as scripts/video_sample.py (see note there)
+os.environ.setdefault("VDT_PRNG", "rbg")
+
 import jax
 
 import video_diffusion_tpu.utils  # noqa: F401

@@ -201,3 +201,21 @@ def test_csv_sink_widens_without_row_cache(tmp_path):
     assert lines[1:] == ["1,", "2,", "3,7"]
     s.row({"b": 8})  # append after widen, missing key -> empty cell
     assert path.read_text().strip().split("\n")[-1] == ",8"
+
+
+def test_csv_sink_comma_values_survive_widen(tmp_path):
+    """Values whose str() contains commas (tuples, messages) are quoted by
+    csv.writer, and the widen-rewrite re-parses them with csv.reader, so
+    columns never silently shift (advisor round-3 finding)."""
+    import csv
+
+    from video_diffusion_tpu.utils.logger import CsvSink
+
+    path = tmp_path / "progress.csv"
+    s = CsvSink(str(path))
+    s.row({"a": (1, 2), "msg": "hello, world"})
+    s.row({"a": (3, 4), "msg": "x", "b": 9})  # widen re-reads from disk
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0] == {"a": "(1, 2)", "msg": "hello, world", "b": ""}
+    assert rows[1] == {"a": "(3, 4)", "msg": "x", "b": "9"}

@@ -498,3 +498,23 @@ def test_bf16_softmax_close_not_identical():
     np.testing.assert_allclose(
         np.asarray(o16), np.asarray(o32), atol=5e-2, rtol=5e-2
     )
+
+
+def test_fused_attention_shape_gate():
+    """F<64 must never reach the Pallas kernel on real TPU: the loop path at
+    F=32 does not finish Mosaic compilation (NOTES_ROUND3.md), and the dense
+    layout needs 128-aligned head slices."""
+    from video_diffusion_tpu.models.unet import use_fused_attention
+
+    # enabled, no capture, real TPU, wide heads -> kernel
+    assert use_fused_attention(True, False, "tpu", 64)
+    assert use_fused_attention(True, False, "axon", 96)
+    # bouncy-balls shape (C=128, H=4 -> F=32): einsum, even with the knob on
+    assert not use_fused_attention(True, False, "tpu", 32)
+    assert not use_fused_attention(True, False, "axon", 48)
+    # CPU backend never takes the kernel
+    assert not use_fused_attention(True, False, "cpu", 64)
+    # attention-map capture needs the materialized scores
+    assert not use_fused_attention(True, True, "tpu", 64)
+    # knob off
+    assert not use_fused_attention(False, False, "tpu", 64)

@@ -258,3 +258,44 @@ def test_video_sample_full_script_threads_observed_frames(tmp_path, monkeypatch)
     )
     mod.main(args, _FakeModel(), {}, diffusion, _DS(), [0])
     assert captured.get("observed_frames") == "x_t_minus_1"
+
+
+def test_bf16_sample_state_knob(tiny, monkeypatch):
+    """VDT_SAMPLE_DTYPE=bf16 narrows the reverse-scan carry to bf16 (HBM
+    lever, BENCH.md 'loop fusions'): output stays f32, close to the f32
+    rollout, and the chunked path stays bit-identical to the unchunked one
+    under the knob (the runner cache re-keys on the resolved dtype)."""
+    model, variables, diffusion = tiny
+    T = 8
+    strategy = inference_strategies["autoreg"](
+        video_length=T, num_obs=2, max_frames=5, step_size=3
+    )
+    schedule = compile_schedule(iter(strategy), 5, T)
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(0), (1, T, 32, 32, 3), minval=-1, maxval=1
+    )
+
+    f32 = np.asarray(
+        sample_video(model, variables, diffusion, schedule, batch, 2,
+                     jax.random.PRNGKey(7))
+    )
+    monkeypatch.setenv("VDT_SAMPLE_DTYPE", "bf16")
+    bf16 = np.asarray(
+        sample_video(model, variables, diffusion, schedule, batch, 2,
+                     jax.random.PRNGKey(7))
+    )
+    bf16_chunked = np.asarray(
+        sample_video(model, variables, diffusion, schedule, batch, 2,
+                     jax.random.PRNGKey(7), t_chunk=2)
+    )
+    assert bf16.dtype == np.float32
+    assert np.isfinite(bf16).all()
+    assert np.abs(bf16).max() < 5.0  # sane sample range
+    # observed prefix is spliced from the f32 buffer either way
+    np.testing.assert_array_equal(bf16[:, :2], f32[:, :2])
+    # the knob took effect (different noise rounding -> different sample;
+    # ancestral chains are chaotic, so no closeness bound is asserted —
+    # quality is A/B'd on the trained model, BENCH.md)
+    assert np.abs(bf16[:, 2:] - f32[:, 2:]).max() > 0.0
+    # chunked scan stays bit-identical under the knob
+    np.testing.assert_array_equal(bf16, bf16_chunked)

@@ -33,6 +33,7 @@ video_data_paths_dict = {
     "mazes": "datasets/mazes-torch",
     "mazes_cwvae": "datasets/gqn_mazes-torch",
     "bouncy_balls": "datasets/bouncing_balls_100",
+    "bouncy_balls_64": "datasets/bouncing_balls_64",
     "bair_pushing": "datasets/bair_pushing",
     "carla_with_traffic": "datasets/carla/with-traffic",
     "carla_no_traffic": "datasets/carla/no-traffic",
@@ -48,6 +49,7 @@ default_T_dict = {
     "mazes_cwvae": 300,
     "ucf101": 300,
     "bouncy_balls": 100,
+    "bouncy_balls_64": 100,
     "bair_pushing": 30,
     "carla_with_traffic": 1000,
     "carla_no_traffic": 1000,
@@ -61,6 +63,7 @@ default_image_size_dict = {
     "mazes_cwvae": 64,
     "ucf101": 64,
     "bouncy_balls": 32,
+    "bouncy_balls_64": 64,
     "bair_pushing": 64,
     "carla_with_traffic": 128,
     "carla_no_traffic": 128,
@@ -74,6 +77,7 @@ default_iterations_dict = {
     "mazes_cwvae": 950000,
     "ucf101": 950000,
     "bouncy_balls": 950000,
+    "bouncy_balls_64": 950000,
     "bair_pushing": 950000,
     "carla_with_traffic": 500000,
     "carla_no_traffic": 500000,
@@ -544,7 +548,7 @@ def _make_train_dataset(dataset_name, data_path, T, image_size, shard, num_shard
             train=True, path=data_path, shard=shard, num_shards=num_shards,
             image_size=image_size, T=T,
         )
-    if dataset_name == "bouncy_balls":
+    if dataset_name in ("bouncy_balls", "bouncy_balls_64"):
         return TensorVideoDataset(
             os.path.join(data_path, "train.pt"), shard=shard, num_shards=num_shards
         )
@@ -629,7 +633,7 @@ def get_test_dataset(dataset_name, T=None, image_size=None):
         "carla_town02_no_traffic",
     ):
         ds = CarlaDataset(train=False, path=data_path, image_size=image_size, T=T)
-    elif dataset_name == "bouncy_balls":
+    elif dataset_name in ("bouncy_balls", "bouncy_balls_64"):
         ds = TensorVideoDataset(os.path.join(data_path, "test.pt"))
     elif dataset_name == "ucf101":
         ds = UCF101Dataset(

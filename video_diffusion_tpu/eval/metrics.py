@@ -73,12 +73,13 @@ def psnr(im1, im2, data_range=1.0):
 
 
 def frechet_degenerate(feats1, feats2):
-    """True when either sample count is below the feature dimension: the
-    covariance estimates are rank-deficient and the Fréchet distance
-    collapses toward 0 regardless of the data (e.g. 16 videos x 400-dim
-    I3D features — see QUALITY.md), so the number carries no signal."""
+    """True when either sample count is at or below the feature dimension:
+    a covariance estimated from N samples has rank at most N-1, so N == D is
+    just as rank-deficient as N < D, and the Fréchet distance collapses
+    toward 0 regardless of the data (e.g. 16 videos x 400-dim I3D features —
+    see QUALITY.md), so the number carries no signal."""
     feats1, feats2 = np.asarray(feats1), np.asarray(feats2)
-    return min(len(feats1), len(feats2)) < feats1.shape[-1]
+    return min(len(feats1), len(feats2)) <= feats1.shape[-1]
 
 
 def frechet_distance(feats1, feats2):

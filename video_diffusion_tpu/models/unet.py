@@ -36,6 +36,29 @@ from .nn import GroupNorm32, frame_embedding, timestep_embedding, zero_init
 default_kernel_init = nn.initializers.lecun_normal()
 
 
+def use_fused_attention(use_pallas, capture_attn, backend, head_dim):
+    """Shape/backend gate for the fused Pallas attention kernel.
+
+    Routes to the XLA einsum path unless all hold:
+    * the model was built with the kernel enabled (``VDT_PALLAS_ATTN=1``),
+    * we are not capturing attention maps (the kernel never materializes
+      the score matrix),
+    * the backend is a real TPU (Mosaic kernels do not run on CPU outside
+      interpret-mode tests),
+    * the head dim is >= 64: at F < 64 neither kernel variant is usable on
+      TPU — the head-packed dense layout needs 128-aligned head slices, and
+      the per-head loop path at F=32 (bouncy-balls shapes, C=128/H=4) does
+      not finish Mosaic compilation (NOTES_ROUND3.md); einsum is the only
+      correct fallback.
+    """
+    return (
+        use_pallas
+        and not capture_attn
+        and backend in ("tpu", "axon")
+        and head_dim >= 64
+    )
+
+
 def _conv(features, kernel=3, stride=1, zero=False, dtype=jnp.float32, name=None):
     return nn.Conv(
         features,
@@ -307,8 +330,8 @@ class RPEAttention(nn.Module):
             neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
             mask_bias = jnp.where(allowed > 0, 0.0, neg_inf)  # (B, T, T)
 
-        if self.use_pallas and not capture_attn and jax.default_backend() in (
-            "tpu", "axon",
+        if use_fused_attention(
+            self.use_pallas, capture_attn, jax.default_backend(), F
         ):
             # fused kernel path: the R tensors are shared across the pixel
             # axis, so compute them once here and broadcast in. The

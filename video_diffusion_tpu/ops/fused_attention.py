@@ -39,18 +39,17 @@ def _pick_tile(D, T, C, budget_bytes=None, dense=False, num_heads=1):
     """Largest divisor of D whose tile fits the VMEM budget (empirical
     accounting: ~12 f32 copies of the (T, C) pixel row live at once, plus
     attention scratch, plus double-buffered in/out blocks). Budget tunable
-    via VDT_ATTN_TILE_MB (read per call, not cached at import, so drivers
-    that configure env after importing the package still take effect).
+    via VDT_ATTN_TILE_MB — resolved in the *unjitted* ``fused_rpe_attention``
+    entry point and threaded through as a static jit argument, so a changed
+    env value re-keys the jit cache instead of being silently ignored after
+    the first trace of a shape.
 
     The dense (head-packed) variant wants LARGE tiles: dT is the M dimension
     of every packed matmul, so a 128-row tile keeps the MXU's sublanes full
     where the loop variant was indifferent (its dots were (T, F) @ (F, T)
     regardless of dT). Budget scaled by the packed working set instead."""
     if budget_bytes is None:
-        default_mb = "40" if dense else "80"
-        budget_bytes = int(
-            float(os.environ.get("VDT_ATTN_TILE_MB", default_mb)) * 2**20
-        )
+        budget_bytes = (40 if dense else 80) * 2**20
     HT = num_heads * T
     if dense:
         per_pixel = T * C * 4 * 12 + HT * HT * 4 * 4
@@ -349,13 +348,17 @@ def fused_rpe_attention(
             dense = False
     if softmax_mode is None:
         softmax_mode = os.environ.get("VDT_ATTN_SOFTMAX", "f32")
+    # resolve the VMEM tile budget here (unjitted) so it participates in
+    # the jit cache key; None = _pick_tile's dense-dependent default
+    tile_mb = os.environ.get("VDT_ATTN_TILE_MB", "")
+    tile_budget_bytes = int(float(tile_mb) * 2**20) if tile_mb else None
     return _fused_rpe_attention_impl(
         x, gn_scale, gn_bias, w_qkv, b_qkv, w_proj, b_proj,
         r_k, r_q, r_v, mask_bias,
         num_heads=num_heads, num_groups=num_groups, eps=eps,
         interpret=interpret, in_transposed=in_transposed,
         out_transposed=out_transposed, dense=dense,
-        softmax_mode=softmax_mode,
+        softmax_mode=softmax_mode, tile_budget_bytes=tile_budget_bytes,
     )
 
 
@@ -364,6 +367,7 @@ def fused_rpe_attention(
     static_argnames=(
         "num_heads", "num_groups", "eps", "interpret",
         "in_transposed", "out_transposed", "dense", "softmax_mode",
+        "tile_budget_bytes",
     ),
 )
 def _fused_rpe_attention_impl(
@@ -371,7 +375,7 @@ def _fused_rpe_attention_impl(
     r_k=None, r_q=None, r_v=None, mask_bias=None,
     *, num_heads, num_groups=32, eps=1e-5, interpret=False,
     in_transposed=False, out_transposed=False, dense=False,
-    softmax_mode="f32",
+    softmax_mode="f32", tile_budget_bytes=None,
 ):
     """x: (B, D, T, C) -> (B, D, T, C). R tensors: (B, T, T, H, F) or None;
     mask_bias: (B, T, T) additive (0 / large-negative) or None.
@@ -434,7 +438,9 @@ def _fused_rpe_attention_impl(
         # a large negative is exact for T <= a few hundred tokens
         mask_bias = jnp.maximum(mask_bias, -1e9)
 
-    dT = _pick_tile(D, T, C, dense=dense, num_heads=H)
+    dT = _pick_tile(
+        D, T, C, budget_bytes=tile_budget_bytes, dense=dense, num_heads=H
+    )
     grid = (B, D // dT)
     rT = r_k.shape[1]
     mT = mask_bias.shape[1]

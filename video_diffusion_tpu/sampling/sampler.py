@@ -26,6 +26,7 @@ model each step and only latent slots are scattered back
 """
 
 import collections
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -34,6 +35,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.wrappers import make_video_model_fn
+
+
+def _state_dtype():
+    """Reverse-scan carry dtype (``VDT_SAMPLE_DTYPE`` = ``f32`` default |
+    ``bf16``).
+
+    The per-timestep elementwise passes of the rollout (carry read/write,
+    sampler noise, posterior splice) are HBM-bound full-video-tensor
+    fusions — 9.6% of device time at f32 (BENCH.md profile). bf16 halves
+    their bytes: the scan carry and the per-step normal draw are stored in
+    bf16 while every coefficient multiply still promotes to f32 inside the
+    fusion (the f32 coefficient tables force the promotion), so only the
+    HBM representation narrows, not the arithmetic. NOT bit-identical to
+    f32 — opt-in, A/B'd in BENCH.md; the final window is cast back to f32
+    before it is spliced into the sample buffer.
+
+    Read per rollout call on the host; the chunk-runner cache keys on the
+    resolved value so an env change between calls re-keys correctly.
+    """
+    mode = os.environ.get("VDT_SAMPLE_DTYPE", "f32")
+    return jnp.bfloat16 if mode == "bf16" else jnp.float32
 
 
 @dataclass(frozen=True)
@@ -146,6 +168,7 @@ def _denoise_window(
     """Run the full reverse process on one window, starting from x0
     (reference video_sample.py:150-168). Returns the final window."""
     B = x0.shape[0]
+    sd = _state_dtype()
     model_fn = _window_model_fn(
         model, variables, diffusion, x0, obs_mask, latent_mask, frame_indices,
         observed_frames, use_gradient_method,
@@ -173,10 +196,10 @@ def _denoise_window(
                 else model_fn
             )
             out = diffusion.p_sample(fn, x, t, srng, clip_denoised=clip_denoised)
-        return (out["sample"], rng), None
+        return (out["sample"].astype(sd), rng), None
 
-    (x, _), _ = jax.lax.scan(body, (x0, rng), ts)
-    return x
+    (x, _), _ = jax.lax.scan(body, (x0.astype(sd), rng), ts)
+    return x.astype(x0.dtype)
 
 
 # Chunk runners memoised per (model, diffusion, flags): a fresh jax.jit per
@@ -190,10 +213,11 @@ _CHUNK_RUNNERS_MAX = 32
 
 
 def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
-                      use_gradient_method, regenerate_cond):
+                      use_gradient_method, regenerate_cond,
+                      state_dtype=jnp.float32):
     key = (
         id(model), id(diffusion), observed_frames, clip_denoised,
-        use_gradient_method, regenerate_cond,
+        use_gradient_method, regenerate_cond, jnp.dtype(state_dtype).name,
     )
     if key in _CHUNK_RUNNERS:
         _CHUNK_RUNNERS.move_to_end(key)
@@ -224,9 +248,9 @@ def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
                 )
                 out = diffusion.p_sample(fn, x, t, srng,
                                          clip_denoised=clip_denoised)
-            return (out["sample"], rng), None
+            return (out["sample"].astype(state_dtype), rng), None
 
-        (x2, rng2), _ = jax.lax.scan(body, (x, rng), ts)
+        (x2, rng2), _ = jax.lax.scan(body, (x.astype(state_dtype), rng), ts)
         return x2, rng2
 
     _CHUNK_RUNNERS[key] = (run, model, diffusion)
@@ -252,17 +276,18 @@ def _denoise_window_chunked(
     """
     runner = _get_chunk_runner(
         model, diffusion, observed_frames, clip_denoised, use_gradient_method,
-        regenerate_cond,
+        regenerate_cond, state_dtype=_state_dtype(),
     )
     K = diffusion.num_timesteps
     ts_full = jnp.arange(K - 1, -1, -1)
-    x = x0
+    # pre-cast so every chunk call sees the same carry dtype (one trace)
+    x = x0.astype(_state_dtype())
     for lo in range(0, K, t_chunk):
         x, rng = runner(
             variables, x0, obs_mask, latent_mask, frame_indices, x, rng,
             ts_full[lo : lo + t_chunk],
         )
-    return x
+    return x.astype(x0.dtype)
 
 
 def _bcast_masks(obs_m, lat_m, fidx, B):

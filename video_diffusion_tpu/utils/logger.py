@@ -119,30 +119,35 @@ class CsvSink(Sink):
         self.columns: list[str] = []
 
     def row(self, kvs):
+        import csv
+
         new = sorted(k for k in kvs if k not in self.columns)
         if new:
             old_columns = list(self.columns)
             self.columns.extend(new)
             rows = []
             if old_columns and os.path.exists(self.path):
-                with open(self.path) as f:
-                    next(f, None)  # header
-                    for line in f:
-                        vals = line.rstrip("\n").split(",")
+                # csv.reader honours the quoting csv.writer emitted, so
+                # values containing commas (tuples, messages) survive the
+                # widen-rewrite intact.
+                with open(self.path, newline="") as f:
+                    reader = csv.reader(f)
+                    next(reader, None)  # header
+                    for vals in reader:
                         rows.append(dict(zip(old_columns, vals)))
-            with open(self.path, "wt") as f:
-                f.write(",".join(self.columns) + "\n")
+            with open(self.path, "wt", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(self.columns)
                 for r in rows:
-                    f.write(self._line(r))
-                f.write(self._line(kvs))
+                    w.writerow(self._vals(r))
+                w.writerow(self._vals(kvs))
         else:
-            with open(self.path, "at") as f:
-                f.write(self._line(kvs))
+            with open(self.path, "at", newline="") as f:
+                csv.writer(f).writerow(self._vals(kvs))
 
-    def _line(self, r):
-        return ",".join(
-            "" if r.get(c) is None else str(r.get(c, "")) for c in self.columns
-        ) + "\n"
+    def _vals(self, r):
+        return ["" if r.get(c) is None else str(r.get(c, ""))
+                for c in self.columns]
 
 
 class WandbSink(Sink):
