@@ -169,6 +169,56 @@ def test_observed_frames_modes(video_setup):
     assert np.abs(outs["x_0"] - outs["x_t"]).max() > 1e-7
 
 
+def test_bf16_tail_knob(video_setup, monkeypatch):
+    """VDT_BF16_TAIL=1 (at model construction) keeps the output head at the
+    compute dtype: bf16 output, same param tree, close to the f32-tail bf16
+    model; inert without use_bf16. Also checks the splice-exactness property
+    the sampler's x0 narrowing relies on: for a bf16 model, pre-casting the
+    x0 conditioning to bf16 is bit-identical (disjoint 0/1 mask splice)."""
+    from tests.conftest import tiny_video_config
+
+    from video_diffusion_tpu.models import factory
+
+    _, _, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+    cfg = tiny_video_config()
+
+    def run(model, x0):
+        mf = make_video_model_fn(
+            model, variables, diffusion, x0=x0, obs_mask=obs,
+            latent_mask=latent, kinda_marg_mask=marg, frame_indices=fi,
+            observed_frames="x_0",
+        )
+        return mf(x, t)
+
+    bf16_model, diffusion = factory.create_video_model_and_diffusion(
+        **cfg, use_bf16=True
+    )
+    base = run(bf16_model, x)
+    assert base.dtype == jnp.float32  # f32 tail by default
+
+    monkeypatch.setenv("VDT_BF16_TAIL", "1")
+    # knob is inert for an f32 model
+    f32_model, _ = factory.create_video_model_and_diffusion(**cfg)
+    assert run(f32_model, x).dtype == jnp.float32
+
+    tail_model, _ = factory.create_video_model_and_diffusion(
+        **cfg, use_bf16=True
+    )
+    out = run(tail_model, x)
+    assert out.dtype == jnp.bfloat16
+    # same params (head layout unchanged), output within bf16 rounding of
+    # the f32-tail bf16 model (|x| <= ~1 here -> absolute tolerance ~2^-7)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base), atol=0.05
+    )
+    # splice exactness: bf16 x0 conditioning is bit-identical for bf16 models
+    np.testing.assert_array_equal(
+        np.asarray(run(bf16_model, x.astype(jnp.bfloat16).astype(jnp.float32))),
+        np.asarray(run(bf16_model, x)),
+    )
+
+
 def test_image_model_forward():
     import inspect
 

@@ -186,6 +186,10 @@ def create_video_model(
         use_pallas_attention=os.environ.get("VDT_PALLAS_ATTN", "") == "1",
         use_pallas_gn=os.environ.get("VDT_PALLAS_GN", "") == "1",
         dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+        # inference-only HBM lever: keep the output head at the compute
+        # dtype (see UNet.bf16_tail). Read at model construction, like the
+        # Pallas knobs above; no effect unless use_bf16 is also on.
+        bf16_tail=os.environ.get("VDT_BF16_TAIL", "") == "1" and use_bf16,
     )
     if do_cond_marg:
         return CondMargVideoUNet(config=config, cond_emb_type=cond_emb_type)

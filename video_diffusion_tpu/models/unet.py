@@ -513,6 +513,16 @@ class UNet(nn.Module):
     use_pallas_attention: bool = False
     use_pallas_gn: bool = False  # fused GroupNorm+SiLU in ResBlocks (inference)
     dtype: jnp.dtype = jnp.float32
+    # keep the output head (out_norm input / out_conv) at the compute dtype
+    # instead of f32. The reference upcasts the head to fp32
+    # (unet.py:296-302) because fp16 training needs it; at bf16 *inference*
+    # the upcast costs a full-resolution model_channels-wide f32
+    # write + read per diffusion step (the largest stream in the sampler's
+    # "loop fusion" HBM share, BENCH.md profile) for no accuracy the
+    # sampler can use. GroupNorm stats stay f32 internally either way.
+    # Opt-in (VDT_BF16_TAIL=1 at model construction, see factory.py);
+    # training paths never set it.
+    bf16_tail: bool = False
 
     def _first_attn_position(self):
         """(block_index, ds, ch) of the first attention block: positional
@@ -683,9 +693,14 @@ class UNet(nn.Module):
                     ds //= 2
                 sow_feature("up", h)
 
-        h = h.astype(jnp.float32)
+        if not self.bf16_tail:
+            h = h.astype(jnp.float32)
         h = GroupNorm32(act="silu", use_pallas=self.use_pallas_gn, name="out_norm")(h)
-        h = _conv(self.out_channels, 3, zero=True, dtype=jnp.float32, name="out_conv")(h)
+        h = _conv(
+            self.out_channels, 3, zero=True,
+            dtype=self.dtype if self.bf16_tail else jnp.float32,
+            name="out_conv",
+        )(h)
         return h.reshape(B, T, Hh, Ww, self.out_channels)
 
     def _fi(self, frame_indices, B, T):
@@ -786,26 +801,37 @@ class CondMargVideoUNet(nn.Module):
         )
         anything_mask = jnp.clip(obs_mask + latent_mask + kinda_marg_mask, max=1)
 
+        # The spliced input is materialized at the UNet compute dtype. Every
+        # output pixel is exactly one of {x, observed_content, 0} scaled by
+        # exact 0/1 masks (disjoint by construction, training/masks.py and
+        # sampling/sampler.py), so cast-then-splice is bit-identical to the
+        # old f32 splice followed by the bf16 cast at in_conv — at half the
+        # HBM for the (C+2)-channel tensor, once per diffusion step.
+        cd = self.config.get("dtype", jnp.float32)
+        xc = x.astype(cd)
+
         if cond_emb_type == "channel":
-            indicator_template = jnp.ones_like(x[:, :, :, :, :1])
-            obs_indicator = indicator_template * obs_mask
-            kinda_marg_indicator = indicator_template * kinda_marg_mask
+            indicator_template = jnp.ones_like(xc[:, :, :, :, :1])
+            obs_indicator = indicator_template * obs_mask.astype(cd)
+            kinda_marg_indicator = indicator_template * kinda_marg_mask.astype(cd)
             if "hybrid" in observed_frames:
                 threshold = int(observed_frames.split("_")[-1])
-                fdm = (timesteps < threshold).astype(x.dtype)[:, :, None, None, None]
-                observed_content = x_t_minus_1 * fdm + hybrid * (1 - fdm)
+                fdm = (timesteps < threshold).astype(cd)[:, :, None, None, None]
+                observed_content = (
+                    x_t_minus_1.astype(cd) * fdm + hybrid.astype(cd) * (1 - fdm)
+                )
             else:
                 observed_content = {
                     "x_0": x0,
                     "x_t": x,
                     "x_t_minus_1": x_t_minus_1,
                     "x_random": x_random,
-                }[observed_frames]
+                }[observed_frames].astype(cd)
             x_in = jnp.concatenate(
                 [
-                    x * latent_mask
-                    + observed_content * obs_mask
-                    + x * (1 - anything_mask),
+                    xc * latent_mask.astype(cd)
+                    + observed_content * obs_mask.astype(cd)
+                    + xc * (1 - anything_mask).astype(cd),
                     obs_indicator,
                     kinda_marg_indicator,
                 ],
@@ -829,7 +855,12 @@ class CondMargVideoUNet(nn.Module):
             timesteps = timesteps_obs * obs_m + timesteps * (1 - obs_m)
         elif cond_emb_type in ("duplicate", "all"):
             x_in = jnp.concatenate(
-                [x * latent_mask + x * (1 - anything_mask), x0 * obs_mask], axis=-1
+                [
+                    xc * latent_mask.astype(cd)
+                    + xc * (1 - anything_mask).astype(cd),
+                    x0.astype(cd) * obs_mask.astype(cd),
+                ],
+                axis=-1,
             )
         elif cond_emb_type == "t=0":
             x_in = x

@@ -169,8 +169,13 @@ def _denoise_window(
     (reference video_sample.py:150-168). Returns the final window."""
     B = x0.shape[0]
     sd = _state_dtype()
+    # x0 is loop-invariant conditioning re-read by the splice every timestep;
+    # at bf16 state dtype, narrow it once here (the model casts it to the
+    # compute dtype anyway) instead of reading f32 from HBM K times. The
+    # gradient-guidance path keeps the f32 x0 (its mismatch is f32 math).
+    x0m = x0 if (sd == jnp.float32 or use_gradient_method) else x0.astype(sd)
     model_fn = _window_model_fn(
-        model, variables, diffusion, x0, obs_mask, latent_mask, frame_indices,
+        model, variables, diffusion, x0m, obs_mask, latent_mask, frame_indices,
         observed_frames, use_gradient_method,
     )
     ts = jnp.arange(diffusion.num_timesteps - 1, -1, -1)
@@ -226,8 +231,13 @@ def _get_chunk_runner(model, diffusion, observed_frames, clip_denoised,
     @jax.jit
     def run(variables, x0, obs_mask, latent_mask, frame_indices, x, rng, ts):
         B = x0.shape[0]
+        x0m = (
+            x0
+            if (state_dtype == jnp.float32 or use_gradient_method)
+            else x0.astype(state_dtype)
+        )
         model_fn = _window_model_fn(
-            model, variables, diffusion, x0, obs_mask, latent_mask,
+            model, variables, diffusion, x0m, obs_mask, latent_mask,
             frame_indices, observed_frames, use_gradient_method,
         )
 

@@ -338,8 +338,15 @@ class TrainLoop:
     def _load_opt_and_ema(self, opt_state, ema_params):
         main = self.resume_checkpoint
         postfix = "latest" if self._args.save_latest_only else f"{self.step:06d}"
-        opt_path = os.path.join(os.path.dirname(main), f"opt_{postfix}.pt")
-        if os.path.exists(opt_path):
+        if str(main).endswith(".orbax"):
+            # opt lives inside the composite; the initialized (sharded) opt
+            # state is the restore target, so structure/dtype/sharding are
+            # restored in place
+            logger.log(f"loading optimizer state from checkpoint: {main}")
+            opt_state = ckpt_lib.load_opt_state(main, target=opt_state)
+        elif os.path.exists(
+            opt_path := os.path.join(os.path.dirname(main), f"opt_{postfix}.pt")
+        ):
             logger.log(f"loading optimizer state from checkpoint: {opt_path}")
             loaded = ckpt_lib.load_opt_state(opt_path)
             opt_state = jax.tree_util.tree_map(
@@ -447,6 +454,8 @@ class TrainLoop:
         self._flush_metrics()
         if (self.step - 1) % self.save_interval != 0:
             self.save()
+        # async (orbax) saves must commit before the process exits
+        ckpt_lib.wait_for_checkpoints()
 
     # ------------------------------------------------------------------ #
     def _log_metrics(self, metrics, t_host, step=None):
@@ -476,8 +485,28 @@ class TrainLoop:
 
     # ------------------------------------------------------------------ #
     def save(self):
+        logdir = ckpt_lib.get_blob_logdir(self._run_id())
+        if ckpt_lib.checkpoint_backend() == "orbax":
+            # sharded async save: every process participates, live device
+            # arrays are snapshotted without a host gather, and the commit
+            # finishes in the background while training continues
+            ckpt_lib.save_checkpoint_orbax(
+                logdir,
+                params=self.state.params,
+                ema_params=list(self.state.ema_params),
+                ema_rates=self.ema_rate,
+                opt_state=self.state.opt_state,
+                config=self._args.__dict__,
+                step=self.step,
+                save_latest_only=self._args.save_latest_only,
+            )
+            if jax.process_index() == 0:
+                logger.log(
+                    f"saving orbax checkpoint at step {self.step} to {logdir} "
+                    "(async)"
+                )
+            return
         if jax.process_index() == 0:
-            logdir = ckpt_lib.get_blob_logdir(self._run_id())
             ckpt_lib.save_checkpoint(
                 logdir,
                 params=jax.device_get(self.state.params),
