@@ -1,0 +1,33 @@
+#!/bin/bash
+# End-of-round-4 chip pipeline: probes + strategy eval on the freshly
+# retrained bb-long checkpoints (the VM re-image wiped the round-3 ones —
+# NOTES_ROUND4.md). Restartable: samplers skip existing outputs and
+# strategy_eval.py merges per-mode into results_artifacts/strategy_eval.json.
+#
+# Usage: bash baselines/round4_endgame.sh <step>   (e.g. 100000)
+# Precondition: the trainer is dead (ps aux | grep "[v]ideo_train" empty).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+STEP=${1:?checkpoint step, e.g. 100000}
+CKDIR=checkpoints/bb-long
+EMA=$CKDIR/ema_0.9999_$(printf %06d "$STEP").pt
+[ -f "$EMA" ] || EMA=$CKDIR/ema_0.9999_latest.pt
+
+echo "=== window probe (trend table) ==="
+PROBES=""
+for s in 025000 050000 075000 100000 125000; do
+  f=$CKDIR/ema_0.9999_$s.pt; [ -f "$f" ] && PROBES="$PROBES $f"
+done
+[ -n "$PROBES" ] && python baselines/window_probe.py $PROBES \
+  2>&1 | tee logs/window_probe_r4.log
+
+echo "=== strategy eval (one invocation per mode; merged json) ==="
+RESPACE=${RESPACE:-}   # empty = full DDPM-1000 (QUALITY.md protocol);
+                       # RESPACE=ddim250 quarters the sampling time
+for mode in autoreg independent exp-past hierarchy-2; do
+  VDT_T_CHUNK=250 python baselines/strategy_eval.py "$EMA" \
+    --T 100 --n 64 --modes "$mode" --batch_size 64 \
+    ${RESPACE:+--respace "$RESPACE"} --eval_root results/strategy-eval \
+    2>&1 | tee -a logs/strategy_eval_r4.log
+done
+echo "=== done: results_artifacts/strategy_eval.json ==="

@@ -15,7 +15,7 @@ one window call per checkpoint (~a minute instead of a full T=100
 sampling + eval run).
 
 Usage: python baselines/window_probe.py <ckpt> [<ckpt2> ...] [--T 10]
-       [--n_obs 5] [--batch 16] [--seed 0]
+       [--n_obs 5] [--batch 16] [--seed 0] [--data <test.pt>]
 """
 
 import argparse
@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--use_ema", type=lambda s: s.lower() != "false",
                         default=True)
+    parser.add_argument("--data", type=str,
+                        default="datasets/bouncing_balls_100/test.pt",
+                        help=".pt tensor of test videos (N,T,C,H,W) in [0,1]")
     args = parser.parse_args()
 
     import jax
@@ -48,9 +51,9 @@ def main():
     from video_diffusion_tpu.utils import checkpoint as ckpt_lib
     from video_diffusion_tpu.utils import eval_util
 
-    ds_path = "datasets/bouncing_balls_100/test.pt"
-    vids = torch.load(ds_path)[: args.batch, : args.T].numpy()  # (B,T,1,32,32)
-    vids = np.repeat(vids, 3, axis=2)
+    vids = torch.load(args.data)[: args.batch, : args.T].numpy()  # (B,T,c,H,W)
+    if vids.shape[2] == 1:
+        vids = np.repeat(vids, 3, axis=2)
     gt = np.transpose(vids, (0, 1, 3, 4, 2)) * 2 - 1  # (B,T,H,W,C) in [-1,1]
     B, T = gt.shape[:2]
 

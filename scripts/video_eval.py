@@ -133,12 +133,19 @@ def compute_fvd_lazy(data_fetch, T, num_samples, batch_size=8):
             pred_feats[k].append(fx.extract_features(p))
     gt_features = np.concatenate(gt_feats)
     fvd = np.zeros(num_samples)
+    kid = np.zeros(num_samples)
     degenerate = False
     for k in range(num_samples):
         feats = np.concatenate(pred_feats[k])
         degenerate = degenerate or metrics.frechet_degenerate(feats, gt_features)
         fvd[k] = fx.compute_fvd(feats, gt_features)
+        # KID (unbiased polynomial-kernel MMD^2, reference
+        # frechet_video_distance.py:215-327) from the same feature pass:
+        # unlike the 400-d Frechet estimate it is unbiased at small N, so
+        # it is the distributional metric of record when fvd_degenerate.
+        kid[k] = fx.compute_kid(feats, gt_features)
     out = {"fvd": fvd.reshape(1, num_samples, 1),
+           "kid": kid.reshape(1, num_samples, 1),
            "_provenance/fvd": fx.provenance}
     if degenerate:
         # rank-deficient covariance: the value is ~0 regardless of data

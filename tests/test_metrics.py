@@ -1,6 +1,8 @@
 """Metric math tests: SSIM/PSNR closed cases, Fréchet distance against the
 analytic Gaussian formula, KID basic properties."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -121,3 +123,39 @@ def test_frechet_degenerate_guard():
         warnings.simplefilter("always")
         frechet_distance(ok1, ok2)
     assert not any("degenerate" in str(x.message) for x in w)
+
+
+def test_video_eval_fvd_mode_also_reports_kid(tmp_path):
+    """scripts/video_eval.py's fvd mode must emit a 'kid' key from the same
+    feature pass — KID is the unbiased distributional metric of record when
+    the 400-d Frechet estimate is rank-deficient (N <= 400 videos)."""
+    import sys
+    from collections import OrderedDict
+
+    sys.path.insert(0, str((Path(__file__).parent.parent / "scripts")))
+    from video_eval import compute_fvd_lazy
+
+    class FakeFetch:
+        obs_length = 1
+
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            rs = np.random.RandomState(i)
+            gt = rs.rand(9 + self.obs_length, 3, 32, 32).astype(np.float32)
+            preds = OrderedDict(
+                (f"sample_{i:04d}-{k}",
+                 rs.rand(9 + self.obs_length, 3, 32, 32).astype(np.float32))
+                for k in range(2)
+            )
+            return {"gt": gt[self.obs_length:],
+                    "preds": OrderedDict(
+                        (k, v[self.obs_length:]) for k, v in preds.items())}
+
+    out = compute_fvd_lazy(FakeFetch(), T=10, num_samples=2, batch_size=2)
+    assert out["fvd"].shape == (1, 2, 1)
+    assert out["kid"].shape == (1, 2, 1)
+    assert np.isfinite(out["kid"]).all()
+    # 3 videos x 400-d features: Frechet must be stamped degenerate, KID not
+    assert out.get("_provenance/fvd_degenerate") is True

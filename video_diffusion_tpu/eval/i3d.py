@@ -180,6 +180,14 @@ class FVDFeatureExtractor:
 
     def extract_features(self, videos):
         """videos: (B, T, H, W, C); returns (B, 400) numpy features."""
+        if videos.shape[1] < 9:
+            # the stride-2 temporal pyramid collapses to an empty window and
+            # the features silently go non-finite below 9 frames (same
+            # constraint as the reference's tfhub i3d-kinetics-400 graph)
+            raise ValueError(
+                f"I3D needs >= 9 frames, got T={videos.shape[1]} — pass more "
+                "frames (e.g. raise --T or lower --obs_length)."
+            )
         videos = self.preprocess(videos)
         feats = []
         for i in range(0, len(videos), self.batch_size):

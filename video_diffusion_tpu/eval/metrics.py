@@ -10,7 +10,6 @@ for the PSD matrices occurring here).
 import warnings
 
 import numpy as np
-from scipy import linalg as _linalg
 
 
 def _uniform_filter(img, size):
@@ -105,11 +104,15 @@ def frechet_distance(feats1, feats2):
     sigma1 = np.cov(feats1, rowvar=False)
     sigma2 = np.cov(feats2, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = _linalg.sqrtm(sigma1.dot(sigma2), disp=False)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
+    # tr(sqrtm(S1 @ S2)) == sum(sqrt(eigvals(S1 @ S2))): S1 @ S2 is similar
+    # to the PSD matrix sqrtm(S1) @ S2 @ sqrtm(S1), so its eigenvalues are
+    # real and non-negative (up to roundoff, clipped below). eigvals is
+    # O(D^3) LAPACK; scipy.sqrtm's Schur recursion takes minutes on this
+    # host for rank-deficient 400x400 products.
+    eigs = np.linalg.eigvals(sigma1.dot(sigma2))
+    tr_covmean = np.sqrt(np.clip(eigs.real, 0.0, None)).sum()
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
-                 - 2 * np.trace(covmean))
+                 - 2 * tr_covmean)
 
 
 def _polynomial_kernel(X, Y=None, degree=3, gamma=None, coef0=1.0):
