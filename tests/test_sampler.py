@@ -299,3 +299,27 @@ def test_bf16_sample_state_knob(tiny, monkeypatch):
     assert np.abs(bf16[:, 2:] - f32[:, 2:]).max() > 0.0
     # chunked scan stays bit-identical under the knob
     np.testing.assert_array_equal(bf16, bf16_chunked)
+
+
+def test_compile_schedule_tolerates_overflowing_window():
+    """ExpPast at T=100/max_frames=10/step_size=5 yields an 11-frame window
+    (log2(95)->6 obs + 5 latent). The reference feeds oversized windows to
+    the model (inference_util.py:280-292 fills but never truncates); the
+    schedule compiler must warn, not crash."""
+    import warnings
+
+    from video_diffusion_tpu.sampling.sampler import compile_schedule
+    from video_diffusion_tpu.sampling.strategies import inference_strategies
+
+    it = inference_strategies["exp-past"](
+        video_length=100, num_obs=5, max_frames=10, step_size=5
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sched = compile_schedule(it, max_frames=10, video_length=100)
+    assert any("exceeds max_frames" in str(x.message) for x in w)
+    widths = {seg.frame_indices.shape[1] for seg in sched.segments}
+    assert max(widths) == 11
+    # every frame is generated exactly once across the schedule
+    gen = [i for _, lat in sched.steps for i in lat]
+    assert sorted(gen) == list(range(5, 100))

@@ -25,6 +25,7 @@ model each step and only latent slots are scattered back
 (video_sample.py:184-189).
 """
 
+import warnings
 import collections
 import os
 from dataclasses import dataclass
@@ -123,7 +124,20 @@ def compile_schedule(strategy_iter, max_frames, video_length) -> Schedule:
 
     for obs, latent in steps:
         width = len(obs) + len(latent)
-        assert 0 < width <= max_frames, (obs, latent)
+        assert width > 0, (obs, latent)
+        if width > max_frames:
+            # The reference's strategies can overflow max_frames (e.g.
+            # ExpPast's exponential set is log2(t) obs frames BEFORE the
+            # fill-to-max loop, reference inference_util.py:280-292, so
+            # log2(t)+step_size can exceed small max_frames) and the
+            # reference feeds the oversized window to the model anyway.
+            # Mirror that: it is just another (wider) segment here.
+            warnings.warn(
+                f"inference window of {width} frames exceeds max_frames="
+                f"{max_frames} (reference-compatible; the model sees a "
+                "wider window than it was trained on)",
+                stacklevel=2,
+            )
         if run and width != len(run[0][0]) + len(run[0][1]):
             flush()
         run.append((list(obs), list(latent)))
