@@ -25,8 +25,12 @@ echo "=== strategy eval (one invocation per mode; merged json) ==="
 RESPACE=${RESPACE:-}   # empty = full DDPM-1000 (QUALITY.md protocol);
                        # RESPACE=ddim250 quarters the sampling time
 for mode in autoreg independent exp-past hierarchy-2; do
-  VDT_T_CHUNK=250 python baselines/strategy_eval.py "$EMA" \
-    --T 100 --n 64 --modes "$mode" --batch_size 64 \
+  # independent folds all 19 windows x batch into ONE reverse process
+  # (~12k frames per diffusion step at batch 64): a 250-step chunk would
+  # trip the tunnel's ~60 s per-call deadline, so chunk it finer.
+  chunk=250; [ "$mode" = independent ] && chunk=50
+  VDT_T_CHUNK=$chunk python baselines/strategy_eval.py "$EMA" \
+    --T 100 --n 64 --modes "$mode" --batch_size 32 \
     ${RESPACE:+--respace "$RESPACE"} --eval_root results/strategy-eval \
     2>&1 | tee -a logs/strategy_eval_r4.log
 done
