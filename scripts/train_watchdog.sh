@@ -14,10 +14,15 @@ PIDFILE=$1; LOG=$2; STALL=$3; shift 3
 [ "$1" = "--" ] && shift
 
 count_progress() {
-  # newest openai kv logdir's dump count (cheap: grep -c, no jax imports)
-  local d
-  d=$(ls -dt /tmp/openai-* 2>/dev/null | head -1)
-  [ -n "$d" ] && grep -ac "| step " "$d/log.txt" 2>/dev/null || echo 0
+  # total kv dump count across every openai logdir (cheap: grep -c, no jax
+  # imports). Summing instead of "newest dir" keeps the counter monotone
+  # when other processes (pytest, probes) create their own /tmp/openai-*
+  # dirs after the trainer's.
+  # grep -c prints the count even when it is 0 (exit code 1), so capture
+  # rather than `|| echo 0` (which would emit a second line on zero).
+  local n
+  n=$(cat /tmp/openai-*/log.txt 2>/dev/null | grep -ac "| step ")
+  echo "${n:-0}"
 }
 
 restart() {
