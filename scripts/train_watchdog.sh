@@ -25,13 +25,42 @@ count_progress() {
   echo "${n:-0}"
 }
 
+log_writers() {
+  # Every pid (other than this watchdog) holding LOG open — resolved by
+  # inode through /proc/*/fd, NOT by command-line pattern. This is the
+  # ground truth for "a trainer is attached to this run": a stale pidfile
+  # (observed round 4: the pidfile held a dead wrapper's pid, restart()
+  # killed it, and the real trainer survived → two trainers contending on
+  # the one chip) cannot fool it.
+  local target pid
+  target=$(readlink -f "$LOG" 2>/dev/null) || return 0
+  for pid in /proc/[0-9]*; do
+    pid=${pid#/proc/}
+    [ "$pid" = "$$" ] && continue
+    for fd in /proc/"$pid"/fd/*; do
+      if [ "$(readlink -f "$fd" 2>/dev/null)" = "$target" ]; then
+        echo "$pid"
+        break
+      fi
+    done
+  done
+}
+
+kill_pid() {
+  kill -0 "$1" 2>/dev/null || return 0
+  kill "$1"; sleep 5
+  kill -0 "$1" 2>/dev/null && { kill -9 "$1"; sleep 3; }
+}
+
 restart() {
   local pid
   pid=$(cat "$PIDFILE" 2>/dev/null)
-  if [ -n "${pid:-}" ] && kill -0 "$pid" 2>/dev/null; then
-    kill "$pid"; sleep 5
-    kill -0 "$pid" 2>/dev/null && { kill -9 "$pid"; sleep 3; }
-  fi
+  [ -n "${pid:-}" ] && kill_pid "$pid"
+  # belt-and-braces: also kill anything still writing the trainer log
+  for pid in $(log_writers); do
+    echo "[watchdog] killing residual log-writer pid $pid"
+    kill_pid "$pid"
+  done
   nohup "$@" >> "$LOG" 2>&1 &
   local shpid=$!
   sleep 2
