@@ -15,7 +15,8 @@ EMA=$CKDIR/ema_0.9999_$(printf %06d "$STEP").pt
 
 echo "=== window probe (trend table) ==="
 PROBES=""
-for s in 025000 050000 075000 100000 125000; do
+for s in 010000 020000 025000 030000 040000 050000 060000 070000 075000 \
+         080000 090000 100000 125000; do
   f=$CKDIR/ema_0.9999_$s.pt; [ -f "$f" ] && PROBES="$PROBES $f"
 done
 [ -n "$PROBES" ] && python baselines/window_probe.py $PROBES \

@@ -71,11 +71,29 @@ restart() {
   echo "[watchdog] restarted trainer pid $(cat "$PIDFILE") at $(date -u +%H:%M:%S)"
 }
 
-last=$(count_progress); lastchange=$(date +%s)
+cpu_time() {
+  # cumulative utime+stime ticks of the recorded trainer pid (0 if dead).
+  # A wedged tunnel call leaves the trainer blocked at ~0 CPU accrual; a
+  # long first XLA compile keeps the CPU counter climbing. Counting accrual
+  # as progress stops the watchdog from killing a trainer mid-compile
+  # (observed round 4: a 420 s stall window < the ~8 min first compile
+  # through the tunnel caused a restart churn).
+  local pid stat
+  pid=$(cat "$PIDFILE" 2>/dev/null) || { echo 0; return; }
+  stat=$(cat /proc/"${pid:-0}"/stat 2>/dev/null) || { echo 0; return; }
+  # fields 14+15 = utime, stime; field 2 (comm) may contain spaces, so cut
+  # everything through the closing paren first.
+  echo "${stat##*) }" | awk '{print $12 + $13}'
+}
+
+last=$(count_progress); lastcpu=$(cpu_time); lastchange=$(date +%s)
 while true; do
   sleep 60
-  cur=$(count_progress); now=$(date +%s)
-  if [ "$cur" != "$last" ]; then
+  cur=$(count_progress); curcpu=$(cpu_time); now=$(date +%s)
+  # >1 s of CPU accrued this 60 s interval = actively compiling, not wedged
+  busy=0; [ "$curcpu" -gt "$lastcpu" ] && [ $((curcpu - lastcpu)) -ge 100 ] && busy=1
+  lastcpu=$curcpu
+  if [ "$cur" != "$last" ] || [ "$busy" = 1 ]; then
     last=$cur; lastchange=$now; continue
   fi
   if [ $((now - lastchange)) -ge "$STALL" ]; then
@@ -83,6 +101,6 @@ while true; do
     restart "$@"
     lastchange=$(date +%s)
     # new logdir appears after restart; reset the baseline
-    sleep 120; last=$(count_progress)
+    sleep 120; last=$(count_progress); lastcpu=$(cpu_time)
   fi
 done
