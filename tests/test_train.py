@@ -171,3 +171,34 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         jax.tree_util.tree_leaves(jax.device_get(state.params)),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resume_from_step_named_snapshot(tmp_path, setup):
+    """Resuming from archiver-produced step-named files must resolve the
+    matching opt/EMA files even when the run itself saves latest-only
+    (regression: round 4 resume looked for opt_latest.pt and died)."""
+    from video_diffusion_tpu.training.train_loop import resume_postfixes
+    from video_diffusion_tpu.utils import checkpoint as ckpt_lib
+
+    model, diffusion, optimizer, state = setup
+    ckpt_lib.save_checkpoint(
+        tmp_path,
+        params=jax.device_get(state.params),
+        ema_params=[jax.device_get(state.ema_params[0])],
+        ema_rates=[0.9999],
+        opt_state=jax.device_get(state.opt_state),
+        config={"dataset": "synthetic", "T": 20},
+        step=30000,
+        save_latest_only=False,
+    )
+    main = str(tmp_path / "model_030000.pt")
+    assert (tmp_path / "opt_030000.pt").exists()
+    step = ckpt_lib.load_checkpoint(main)["step"]
+    pfs = resume_postfixes(main, step)
+    assert pfs[0] == "030000"  # step-named file resolves step-named opt/ema
+    assert (tmp_path / f"opt_{pfs[0]}.pt").exists()
+    assert ckpt_lib.find_ema_checkpoint(main, step, 0.9999, pfs[0] == "latest")
+    # a latest-named resume file prefers latest-named opt/ema
+    assert resume_postfixes(str(tmp_path / "model_latest.pt"), step)[0] == "latest"
+    # fallback order covers a half-finished save either way
+    assert resume_postfixes(main, step) == ["030000", "latest"]

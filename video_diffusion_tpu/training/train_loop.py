@@ -171,6 +171,19 @@ def build_train_step(
     return train_step
 
 
+def resume_postfixes(main_checkpoint, step):
+    """Ordered opt/EMA postfix candidates for a resume checkpoint: the one
+    matching the resume file's own name first, the other as a fallback (a
+    save can die between the three renames). Deriving this from the current
+    run's save_latest_only flag instead is wrong: find_resume_checkpoint may
+    pick the highest-step 'model_<step>.pt' (archiver-produced snapshots of a
+    latest-only run) and the flag would then point at a nonexistent
+    'opt_latest.pt'."""
+    latest_first = os.path.basename(str(main_checkpoint)).endswith("_latest.pt")
+    pf = ["latest", f"{step:06d}"]
+    return pf if latest_first else pf[::-1]
+
+
 class TrainLoop:
     """Host-side orchestration (reference train_util.TrainLoop)."""
 
@@ -337,16 +350,23 @@ class TrainLoop:
 
     def _load_opt_and_ema(self, opt_state, ema_params):
         main = self.resume_checkpoint
-        postfix = "latest" if self._args.save_latest_only else f"{self.step:06d}"
+        postfixes = resume_postfixes(main, self.step)
         if str(main).endswith(".orbax"):
             # opt lives inside the composite; the initialized (sharded) opt
             # state is the restore target, so structure/dtype/sharding are
             # restored in place
             logger.log(f"loading optimizer state from checkpoint: {main}")
             opt_state = ckpt_lib.load_opt_state(main, target=opt_state)
-        elif os.path.exists(
-            opt_path := os.path.join(os.path.dirname(main), f"opt_{postfix}.pt")
-        ):
+        else:
+            opt_paths = [
+                os.path.join(os.path.dirname(main), f"opt_{p}.pt")
+                for p in postfixes
+            ]
+            opt_path = next((p for p in opt_paths if os.path.exists(p)), None)
+            if opt_path is None:
+                raise FileNotFoundError(
+                    f"Failed to find optimizer checkpoint (tried {opt_paths})"
+                )
             logger.log(f"loading optimizer state from checkpoint: {opt_path}")
             loaded = ckpt_lib.load_opt_state(opt_path)
             opt_state = jax.tree_util.tree_map(
@@ -356,12 +376,20 @@ class TrainLoop:
                 opt_state,
                 loaded,
             )
-        else:
-            raise FileNotFoundError(f"Failed to find optimizer checkpoint {opt_path}")
         new_ema = []
         for rate in self.ema_rate:
-            path = ckpt_lib.find_ema_checkpoint(
-                main, self.step, rate, self._args.save_latest_only
+            path = next(
+                (
+                    p
+                    for p in (
+                        ckpt_lib.find_ema_checkpoint(
+                            main, self.step, rate, pf == "latest"
+                        )
+                        for pf in postfixes
+                    )
+                    if p is not None
+                ),
+                None,
             )
             if path is None:
                 raise FileNotFoundError(
