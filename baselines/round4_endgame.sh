@@ -14,11 +14,9 @@ EMA=$CKDIR/ema_0.9999_$(printf %06d "$STEP").pt
 [ -f "$EMA" ] || EMA=$CKDIR/ema_0.9999_latest.pt
 
 echo "=== window probe (trend table) ==="
-PROBES=""
-for s in 010000 020000 025000 030000 040000 050000 060000 070000 075000 \
-         080000 090000 100000 125000; do
-  f=$CKDIR/ema_0.9999_$s.pt; [ -f "$f" ] && PROBES="$PROBES $f"
-done
+# every step-named EMA snapshot on disk, oldest first (the archiver produces
+# one per save_interval; globbing beats a hardcoded list across recipes)
+PROBES=$(ls "$CKDIR"/ema_0.9999_[0-9]*.pt 2>/dev/null | sort | tr '\n' ' ')
 [ -n "$PROBES" ] && python baselines/window_probe.py $PROBES \
   2>&1 | tee logs/window_probe_r4.log
 
