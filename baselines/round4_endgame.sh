@@ -28,9 +28,12 @@ for mode in autoreg independent exp-past hierarchy-2; do
   # (~12k frames per diffusion step at batch 64): a 250-step chunk would
   # trip the tunnel's ~60 s per-call deadline, so chunk it finer.
   chunk=250; [ "$mode" = independent ] && chunk=50
+  # independent OOMs at batch 32 (19 windows x 32 folded > HBM); run it 16
+  bs=32; [ "$mode" = independent ] && bs=16
   VDT_T_CHUNK=$chunk python baselines/strategy_eval.py "$EMA" \
-    --T 100 --n 64 --modes "$mode" --batch_size 32 \
-    ${RESPACE:+--respace "$RESPACE"} --eval_root results/strategy-eval \
+    --T 100 --n 64 --modes "$mode" --batch_size "$bs" --tag "step$STEP" \
+    ${RESPACE:+--respace "$RESPACE"} \
+    --eval_root "results/strategy-eval-$STEP" \
     2>&1 | tee -a logs/strategy_eval_r4.log
 done
 echo "=== done: results_artifacts/strategy_eval.json ==="

@@ -58,6 +58,10 @@ def main():
                     help="e.g. ddim250; empty = full DDPM")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--eval_root", type=str, default="results/strategy-eval")
+    ap.add_argument("--tag", type=str, default="",
+                    help="nest this run's rows under strategy_eval.json[tag] "
+                    "(e.g. the checkpoint step) instead of the top level, so "
+                    "reruns on deeper checkpoints don't overwrite history")
     args = ap.parse_args()
 
     table = {}
@@ -126,7 +130,10 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             existing = json.load(f)
-    existing.update(table)
+    if args.tag:
+        existing.setdefault(args.tag, {}).update(table)
+    else:
+        existing.update(table)
     with open(out, "w") as f:
         json.dump(existing, f, indent=2)
     print(json.dumps(table, indent=2))
