@@ -366,12 +366,17 @@ class RPEAttention(nn.Module):
         # einsum subscripts absorb the head/token reordering so no transposed
         # copies of the big activations ever hit HBM
         xc = x.astype(self.dtype)
-        qkv = (
-            xc @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
-        ).reshape(B, D, T, 3, H, F)
-        q = qkv[:, :, :, 0] * scale
-        k = qkv[:, :, :, 1]
-        v = qkv[:, :, :, 2]
+        # Split q/k/v by slicing the LANE axis (minor dim stays 3C, fully
+        # tiled) rather than reshaping to (B, D, T, 3, H, F): that 6-D shape
+        # puts (H, F) = (4, 32) in the minor dims, which the TPU pads ~6x —
+        # the bf16[608,256,10,3,4,32] 7.1G buffer that OOM'd the folded-
+        # window independent sampler at batch 32 (NOTES_ROUND4.md). The
+        # (H, F) head split now happens per-operand where XLA can fuse it
+        # into the consuming einsum instead of materializing it.
+        qkv = xc @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
+        q = (qkv[..., :C] * scale).reshape(B, D, T, H, F)
+        k = qkv[..., C : 2 * C].reshape(B, D, T, H, F)
+        v = qkv[..., 2 * C :].reshape(B, D, T, H, F)
 
         attn = jnp.einsum("bdihf,bdjhf->bdhij", q, k)
 
