@@ -87,6 +87,43 @@ def test_chunked_scan_exact_parity(tiny):
     np.testing.assert_allclose(single, chunked, atol=1e-5, rtol=1e-5)
 
 
+def test_window_fold_cap(tiny, monkeypatch):
+    """VDT_WINDOW_FOLD caps windows-per-device-call. A cap >= S must be
+    bit-identical to the default all-folded path (same rng split sequence);
+    smaller caps change the rng stream but sample the same distribution —
+    checked structurally and statistically."""
+    model, variables, diffusion = tiny
+    schedule, batch = _setup(T=8, B=2, obs=2, step=3, max_frames=5)
+    r = jax.random.PRNGKey(11)
+    base = np.asarray(sample_video_windows_parallel(
+        model, variables, diffusion, schedule, batch, 2, r))
+
+    monkeypatch.setenv("VDT_WINDOW_FOLD", "64")  # >= any S: single chunk
+    capped = np.asarray(sample_video_windows_parallel(
+        model, variables, diffusion, schedule, batch, 2, r))
+    np.testing.assert_array_equal(base, capped)
+
+    # fold=2 with S=3 windows exercises the remainder chunk
+    base_stack, fold_stack = [], []
+    for seed in range(4):
+        rs = jax.random.PRNGKey(200 + seed)
+        monkeypatch.setenv("VDT_WINDOW_FOLD", "0")
+        base_stack.append(np.asarray(sample_video_windows_parallel(
+            model, variables, diffusion, schedule, batch, 2, rs)))
+        monkeypatch.setenv("VDT_WINDOW_FOLD", "2")
+        fold_stack.append(np.asarray(sample_video_windows_parallel(
+            model, variables, diffusion, schedule, batch, 2, rs)))
+    b, f = np.stack(base_stack), np.stack(fold_stack)
+    np.testing.assert_array_equal(b[:, :, :2], f[:, :, :2])  # obs preserved
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(
+        b.mean(axis=(0, 1, 3, 4, 5)), f.mean(axis=(0, 1, 3, 4, 5)), atol=0.12
+    )
+    np.testing.assert_allclose(
+        b.std(axis=(0, 1, 3, 4, 5)), f.std(axis=(0, 1, 3, 4, 5)), atol=0.12
+    )
+
+
 def test_sequential_chunked_exact_parity(tiny):
     """sample_video with t_chunk (host-looped windows + chunked scans) must
     be bit-identical to the fully-scanned rollout: same split order, same

@@ -640,44 +640,66 @@ def sample_video_windows_parallel(
     samples = jnp.zeros((B, T + 1) + batch.shape[2:], dtype=jnp.float32)
     samples = samples.at[:, :obs_length].set(batch[:, :obs_length])
 
+    # VDT_WINDOW_FOLD caps how many windows fold into one device call
+    # (0 = all of them). Peak sampler HBM scales with B x fold, so this
+    # bounds memory on the widest-batch path (batch-32 independent needed
+    # ~16G with everything folded — NOTES_ROUND4.md) at the cost of one
+    # extra compile for a remainder chunk. Windows in a segment never
+    # condition on each other, so any fold split is exact.
+    fold = int(os.environ.get("VDT_WINDOW_FOLD", "0") or 0)
+
     for seg in schedule.segments:
         S, F = seg.frame_indices.shape
-        fidx = jnp.asarray(seg.frame_indices)  # (S, F)
-        # gather windows from the initial buffer: (B, S, F, H, W, C)
-        x0 = jnp.take(samples, fidx.reshape(-1), axis=1).reshape(
-            (B, S, F) + batch.shape[2:]
-        )
-        x0 = x0.reshape((B * S, F) + batch.shape[2:])
-        e = (1, 1, 1)
-        obs_mask = jnp.broadcast_to(
-            jnp.asarray(seg.obs_mask).reshape(1, S, F, *e), (B, S, F, *e)
-        ).reshape(B * S, F, *e)
-        latent_mask = jnp.broadcast_to(
-            jnp.asarray(seg.latent_mask).reshape(1, S, F, *e), (B, S, F, *e)
-        ).reshape(B * S, F, *e)
-        frame_indices = jnp.broadcast_to(fidx[None], (B, S, F)).reshape(B * S, F)
-        rng, wrng = jax.random.split(rng)
-        if t_chunk:
-            local = _denoise_window_chunked(
-                model, variables, diffusion, x0, obs_mask, latent_mask,
-                frame_indices, wrng, t_chunk,
-                observed_frames=observed_frames,
-                clip_denoised=clip_denoised,
-                use_gradient_method=use_gradient_method,
+        step = S if fold <= 0 else min(fold, S)
+        for s0 in range(0, S, step):
+            fidx_np = seg.frame_indices[s0 : s0 + step]
+            Sc = fidx_np.shape[0]
+            fidx = jnp.asarray(fidx_np)  # (Sc, F)
+            # gather windows from the initial buffer: (B, Sc, F, H, W, C)
+            x0 = jnp.take(samples, fidx.reshape(-1), axis=1).reshape(
+                (B, Sc, F) + batch.shape[2:]
             )
-        else:
-            local = _denoise_window(
-                model, variables, diffusion, x0, obs_mask, latent_mask,
-                frame_indices, wrng,
-                observed_frames=observed_frames,
-                clip_denoised=clip_denoised,
-                use_gradient_method=use_gradient_method,
+            x0 = x0.reshape((B * Sc, F) + batch.shape[2:])
+            e = (1, 1, 1)
+            obs_mask = jnp.broadcast_to(
+                jnp.asarray(seg.obs_mask[s0 : s0 + step]).reshape(
+                    1, Sc, F, *e
+                ),
+                (B, Sc, F, *e),
+            ).reshape(B * Sc, F, *e)
+            latent_mask = jnp.broadcast_to(
+                jnp.asarray(seg.latent_mask[s0 : s0 + step]).reshape(
+                    1, Sc, F, *e
+                ),
+                (B, Sc, F, *e),
+            ).reshape(B * Sc, F, *e)
+            frame_indices = jnp.broadcast_to(
+                fidx[None], (B, Sc, F)
+            ).reshape(B * Sc, F)
+            rng, wrng = jax.random.split(rng)
+            if t_chunk:
+                local = _denoise_window_chunked(
+                    model, variables, diffusion, x0, obs_mask, latent_mask,
+                    frame_indices, wrng, t_chunk,
+                    observed_frames=observed_frames,
+                    clip_denoised=clip_denoised,
+                    use_gradient_method=use_gradient_method,
+                )
+            else:
+                local = _denoise_window(
+                    model, variables, diffusion, x0, obs_mask, latent_mask,
+                    frame_indices, wrng,
+                    observed_frames=observed_frames,
+                    clip_denoised=clip_denoised,
+                    use_gradient_method=use_gradient_method,
+                )
+            local = local.reshape((B, Sc, F) + batch.shape[2:])
+            scat = jnp.asarray(
+                seg.scatter_indices[s0 : s0 + step]
+            ).reshape(-1)  # (Sc*F,)
+            samples = samples.at[:, scat].set(
+                local.reshape((B, Sc * F) + batch.shape[2:])
             )
-        local = local.reshape((B, S, F) + batch.shape[2:])
-        scat = jnp.asarray(seg.scatter_indices).reshape(-1)  # (S*F,)
-        samples = samples.at[:, scat].set(
-            local.reshape((B, S * F) + batch.shape[2:])
-        )
     return samples[:, :T]
 
 
