@@ -28,13 +28,24 @@ def main():
     from video_diffusion_tpu.sampling.sampler import sample_video_windows_parallel
     from video_diffusion_tpu.sampling.strategies import inference_strategies
 
-    T, size, max_frames, step_size, obs_length = 30, 64, 20, 7, 2
+    # PROBE_* env knobs override the bench-flagship default so the probe can
+    # reproduce other rollout shapes compile-only — e.g. the strategy-eval
+    # OOM shape (NOTES_ROUND4.md): PROBE_T=100 PROBE_SIZE=32
+    # PROBE_CHANNELS=64 PROBE_MAX_FRAMES=10 PROBE_STEP=5 PROBE_OBS=5
+    # BENCH_BATCH=32.
+    T = int(os.environ.get("PROBE_T", "30"))
+    size = int(os.environ.get("PROBE_SIZE", "64"))
+    max_frames = int(os.environ.get("PROBE_MAX_FRAMES", "20"))
+    step_size = int(os.environ.get("PROBE_STEP", "7"))
+    obs_length = int(os.environ.get("PROBE_OBS", "2"))
+    channels = int(os.environ.get("PROBE_CHANNELS", "128"))
     B = int(os.environ.get("BENCH_BATCH", "16"))
     respace = os.environ.get("BENCH_RESPACE", "ddim250")
 
     defaults = factory.video_model_and_diffusion_defaults()
     defaults.update(
-        T=T, image_size=size, num_channels=128, num_res_blocks=2, num_heads=4,
+        T=T, image_size=size, num_channels=channels, num_res_blocks=2,
+        num_heads=4,
         attention_resolutions="16,8", rp_alpha=T, rp_beta=T, rp_gamma=T,
         diffusion_steps=1000, timestep_respacing=respace,
     )

@@ -28,8 +28,11 @@ for mode in autoreg independent exp-past hierarchy-2; do
   # (~12k frames per diffusion step at batch 64): a 250-step chunk would
   # trip the tunnel's ~60 s per-call deadline, so chunk it finer.
   chunk=250; [ "$mode" = independent ] && chunk=50
-  # independent OOMs at batch 32 (19 windows x 32 folded > HBM); run it 16
-  bs=32; [ "$mode" = independent ] && bs=16
+  # batch 32 independent OOM'd before the qkv lane-slice layout fix
+  # (16.3G requested); the compile-only probe now puts it at 12.5G, so
+  # run it at 32 like the others. VDT_WINDOW_FOLD=10 is the fallback if
+  # the chip still faults (bounds peak HBM, noise-stream change only).
+  bs=32
   VDT_T_CHUNK=$chunk python baselines/strategy_eval.py "$EMA" \
     --T 100 --n 64 --modes "$mode" --batch_size "$bs" --tag "step$STEP" \
     ${RESPACE:+--respace "$RESPACE"} \
