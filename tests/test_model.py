@@ -240,3 +240,64 @@ def test_image_model_forward():
     out = mf(x, t)
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dminor_attention_parity(monkeypatch):
+    """The d-minor (pixels-on-lanes) einsum layout must match the standard
+    layout numerically — same contractions, different operand layouts —
+    including the RPE q/k/v biases, the padding mask, and the sown
+    attention probe."""
+    from video_diffusion_tpu.models.unet import RPEAttention
+
+    B, D, T, C, H = 2, 128, 6, 32, 4
+    blk = RPEAttention(
+        channels=C, num_heads=H,
+        use_rpe_q=True, use_rpe_k=True, use_rpe_v=True, use_rpe_net=True,
+    )
+    r = jax.random.PRNGKey(0)
+    x = jax.random.normal(r, (B, D, T, C), dtype=jnp.float32)
+    temb = jax.random.normal(jax.random.PRNGKey(1), (B, T, 16))
+    fi = jnp.tile(jnp.arange(T)[None], (B, 1))
+    mask = jnp.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], jnp.float32)
+
+    monkeypatch.setenv("VDT_ATTN_DMINOR", "0")
+    variables = blk.init(
+        {"params": jax.random.PRNGKey(2)}, x, temb=temb, frame_indices=fi,
+        attn_mask=mask,
+    )
+    y0, s0 = blk.apply(
+        variables, x, temb=temb, frame_indices=fi, attn_mask=mask,
+        capture_attn=True, mutable=["intermediates"],
+    )
+
+    monkeypatch.setenv("VDT_ATTN_DMINOR", "1")
+    y1, s1 = blk.apply(
+        variables, x, temb=temb, frame_indices=fi, attn_mask=mask,
+        capture_attn=True, mutable=["intermediates"],
+    )
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+    a0 = np.asarray(s0["intermediates"]["attn"][0])
+    a1 = np.asarray(s1["intermediates"]["attn"][0])
+    assert a0.shape == a1.shape
+    np.testing.assert_allclose(a0, a1, atol=2e-5)
+
+
+def test_dminor_full_model_parity(video_setup, monkeypatch):
+    """Forcing the d-minor layout through the whole video UNet (temporal AND
+    spatial attention) must reproduce the standard-layout output."""
+    model, diffusion, variables = video_setup
+    x, obs, latent, marg, fi, t = _inputs()
+
+    def run():
+        mf = make_video_model_fn(
+            model, variables, diffusion, x0=x, obs_mask=obs,
+            latent_mask=latent, kinda_marg_mask=marg, frame_indices=fi,
+            observed_frames="x_0",
+        )
+        return mf(x, t)
+
+    monkeypatch.setenv("VDT_ATTN_DMINOR", "0")
+    base = np.asarray(run())
+    monkeypatch.setenv("VDT_ATTN_DMINOR", "1")
+    forced = np.asarray(run())
+    np.testing.assert_allclose(base, forced, atol=2e-5)

@@ -59,6 +59,24 @@ def use_fused_attention(use_pallas, capture_attn, backend, head_dim):
     )
 
 
+def _use_dminor_layout(tokens, batch_pixels):
+    """Pick the pixels-on-lanes einsum layout (``VDT_ATTN_DMINOR``: auto/0/1).
+
+    For few-token attention over many pixels (temporal attention: T ~ 10
+    tokens, D = H*W pixel batch) the standard einsum layout materializes
+    q/k/v with (H, F) in the TPU minor dims (padded ~6x) and the score
+    tensor with (T, T) minor (padded up to ~20x) — measured compile-only in
+    baselines/qkv_layout_probe.json. Transposing so D rides the lane axis
+    makes every big intermediate dense. Spatial attention (tokens = H*W,
+    batch = frames) keeps the standard layout, which is already
+    lane-aligned there. Read at trace time like the other VDT_ knobs.
+    """
+    v = os.environ.get("VDT_ATTN_DMINOR", "auto")
+    if v == "auto":
+        return tokens < 64 and batch_pixels >= 64
+    return v == "1"
+
+
 def _conv(features, kernel=3, stride=1, zero=False, dtype=jnp.float32, name=None):
     return nn.Conv(
         features,
@@ -242,11 +260,41 @@ class RPE(nn.Module):
         R = self.get_R(pairwise_distances, temb)
         return jnp.einsum("bdhts,btshf->bdthf", attn, R.astype(attn.dtype))
 
+    def forward_qk_dminor(self, qk, pairwise_distances, temb):
+        # d-minor layout (_use_dminor_layout): qk (B, H, T, F, D),
+        # R (B, T, S, H, F) -> bias (B, H, T, S, D). Same contraction as
+        # forward_qk, pixel axis kept minor; multiply+reduce so XLA's dot
+        # canonicalization cannot transpose the big operand back to the
+        # padded f-minor layout (see RPEAttention d-minor branch).
+        R = self.get_R(pairwise_distances, temb)
+        Rt = R.astype(qk.dtype).transpose(0, 3, 1, 2, 4)  # (B, H, T, S, F)
+        # (B,H,T,1,F,D) * (B,H,T,S,F,1) -> sum over F -> (B,H,T,S,D)
+        return (
+            (qk[:, :, :, None] * Rt[..., None])
+            .sum(axis=4, dtype=jnp.float32)
+            .astype(qk.dtype)
+        )
+
+    def forward_v_dminor(self, attn, pairwise_distances, temb):
+        # attn (B, H, T, S, D) -> (B, H, T, F, D)
+        R = self.get_R(pairwise_distances, temb)
+        Rt = R.astype(attn.dtype).transpose(0, 3, 1, 2, 4)  # (B, H, T, S, F)
+        # (B,H,T,S,1,D) * (B,H,T,S,F,1) -> sum over S -> (B,H,T,F,D)
+        return (
+            (attn[:, :, :, :, None] * Rt[..., None])
+            .sum(axis=3, dtype=jnp.float32)
+            .astype(attn.dtype)
+        )
+
     def __call__(self, x, pairwise_distances, temb, mode):
         if mode == "qk":
             return self.forward_qk(x, pairwise_distances, temb)
         elif mode == "v":
             return self.forward_v(x, pairwise_distances, temb)
+        elif mode == "qk_dminor":
+            return self.forward_qk_dminor(x, pairwise_distances, temb)
+        elif mode == "v_dminor":
+            return self.forward_v_dminor(x, pairwise_distances, temb)
         raise ValueError(f"Unexpected RPE attention mode: {mode}")
 
 
@@ -378,37 +426,92 @@ class RPEAttention(nn.Module):
         k = qkv[..., C : 2 * C].reshape(B, D, T, H, F)
         v = qkv[..., 2 * C :].reshape(B, D, T, H, F)
 
-        attn = jnp.einsum("bdihf,bdjhf->bdhij", q, k)
+        attn_probe = None
+        if _use_dminor_layout(T, D):
+            # d-minor variant: same contractions with the pixel axis D kept
+            # minor, so q/k/v (B,H,T,F,D) and scores (B,H,i,j,D) stay dense
+            # on TPU tiles (see _use_dminor_layout / qkv_layout_probe.json).
+            qd = q.transpose(0, 3, 2, 4, 1)
+            kd = k.transpose(0, 3, 2, 4, 1)
+            vd = v.transpose(0, 3, 2, 4, 1)
+            # multiply+reduce instead of dot_general: XLA's dot layout
+            # assignment would otherwise transpose the operands back to
+            # f-minor (padded) form — einsum here compiles to the exact
+            # same buffers as the standard branch. The contraction is tiny
+            # (F <= 32 per head) and these dots run at ~2% MXU utilization,
+            # so a fused VPU reduce over dense d-minor operands wins.
+            attn = (
+                (qd[:, :, :, None] * kd[:, :, None])
+                .sum(axis=4, dtype=jnp.float32)  # f32 accum like the MXU dot
+                .astype(qd.dtype)
+            )
+            if self.use_rpe_k:
+                attn = attn + self._make_rpe("rpe_k")(
+                    qd, pairwise_distances, temb, "qk_dminor"
+                )
+            if self.use_rpe_q:
+                attn = attn + jnp.swapaxes(
+                    self._make_rpe("rpe_q")(
+                        kd * scale, pairwise_distances, temb, "qk_dminor"
+                    ),
+                    2,
+                    3,
+                )
+            if mask_bias is not None:
+                attn = attn.astype(jnp.float32) + mask_bias[:, None, :, :, None]
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=3).astype(
+                x.dtype
+            )
+            out = (
+                (attn[:, :, :, :, None] * vd[:, :, None])
+                .sum(axis=3, dtype=jnp.float32)
+                .astype(vd.dtype)
+            )
+            if self.use_rpe_v:
+                out = out + self._make_rpe("rpe_v")(
+                    attn, pairwise_distances, temb, "v_dminor"
+                )
+            out = out.transpose(0, 4, 2, 1, 3).reshape(B, D, T, C)
+            if capture_attn:
+                attn_probe = jnp.abs(attn.astype(jnp.float32)).mean(axis=(1, 4))
+        else:
+            attn = jnp.einsum("bdihf,bdjhf->bdhij", q, k)
 
-        if self.use_rpe_k:
-            attn = attn + self._make_rpe("rpe_k")(q, pairwise_distances, temb, "qk")
-        if self.use_rpe_q:
-            attn = attn + jnp.swapaxes(
-                self._make_rpe("rpe_q")(k * scale, pairwise_distances, temb, "qk"),
-                -1,
-                -2,
+            if self.use_rpe_k:
+                attn = attn + self._make_rpe("rpe_k")(
+                    q, pairwise_distances, temb, "qk"
+                )
+            if self.use_rpe_q:
+                attn = attn + jnp.swapaxes(
+                    self._make_rpe("rpe_q")(
+                        k * scale, pairwise_distances, temb, "qk"
+                    ),
+                    -1,
+                    -2,
+                )
+
+            if mask_bias is not None:
+                attn = attn.astype(jnp.float32) + mask_bias[:, None, None, :, :]
+
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                x.dtype
             )
 
-        if mask_bias is not None:
-            attn = attn.astype(jnp.float32) + mask_bias[:, None, None, :, :]
+            out = jnp.einsum("bdhij,bdjhf->bdihf", attn, v)
+            if self.use_rpe_v:
+                out = out + self._make_rpe("rpe_v")(
+                    attn, pairwise_distances, temb, "v"
+                )
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-
-        out = jnp.einsum("bdhij,bdjhf->bdihf", attn, v)
-        if self.use_rpe_v:
-            out = out + self._make_rpe("rpe_v")(attn, pairwise_distances, temb, "v")
-
-        out = out.reshape(B, D, T, C)
+            out = out.reshape(B, D, T, C)
+            if capture_attn:
+                attn_probe = jnp.abs(attn.astype(jnp.float32)).mean(axis=(1, 2))
         out = out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
         x = x + out
         if capture_attn:
             # mean over non-attended axis and heads, abs — what the reference
             # logs for visualisation (unet.py:464-468, train_util.py:727-754)
-            self.sow(
-                "intermediates",
-                "attn",
-                jnp.abs(attn.astype(jnp.float32)).mean(axis=(1, 2)),
-            )
+            self.sow("intermediates", "attn", attn_probe)
         if self.transposed_io:
             x = x.transpose(0, 2, 1, 3)  # back to (B, T, D, C)
         return x
