@@ -543,8 +543,16 @@ class FactorizedAttentionBlock(nn.Module):
         # temporal: tokens = T, batch = B x (H*W). With fused transposed io
         # the (B, T, HW, C) activation feeds the kernel directly and the
         # temporal<->spatial transpose happens inside its VMEM tile.
-        fuse_transpose = (
+        # VDT_PALLAS_ATTN_TEMPORAL=0 keeps spatial attention on the fused
+        # kernel while routing temporal attention to the XLA einsum path
+        # (where the d-minor layout applies, see _use_dminor_layout) — the
+        # A/B arm for Pallas-vs-dminor on the few-token temporal axis.
+        temporal_pallas = (
             self.use_pallas
+            and os.environ.get("VDT_PALLAS_ATTN_TEMPORAL", "1") == "1"
+        )
+        fuse_transpose = (
+            temporal_pallas
             and os.environ.get("VDT_ATTN_FUSE_TRANSPOSE", "1") == "1"
         )
         temporal = RPEAttention(
@@ -556,7 +564,7 @@ class FactorizedAttentionBlock(nn.Module):
             use_rpe_net=self.use_rpe_net,
             bucket_params=self.bucket_params,
             allow_interactions_between_padding=self.allow_interactions_between_padding,
-            use_pallas=self.use_pallas,
+            use_pallas=temporal_pallas,
             transposed_io=fuse_transpose,
             dtype=self.dtype,
             name="temporal_attention",
