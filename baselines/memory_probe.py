@@ -62,6 +62,9 @@ def main():
     schedule = compile_schedule(iter(strategy), max_frames, T)
 
     # abstract init (no device memory needed)
+    # PRNG key width depends on the active impl (threefry: 2 words,
+    # rbg: 4) — derive it so VDT_PRNG=rbg probes match bench.py's HLO
+    key_s = jax.eval_shape(lambda: jax.random.PRNGKey(0))
     e = (1, 1, 1)
     F = max_frames
     x_s = jax.ShapeDtypeStruct((1, F, size, size, 3), jnp.float32)
@@ -74,11 +77,11 @@ def main():
             latent_mask=m, kinda_marg_mask=m, frame_indices=fi,
             observed_frames="x_0",
         ),
-        jax.ShapeDtypeStruct((2,), jnp.uint32), x_s, t_s, m_s, fi_s,
+        key_s, x_s, t_s, m_s, fi_s,
     )
 
     batch_s = jax.ShapeDtypeStruct((B, T, size, size, 3), jnp.float32)
-    rng_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    rng_s = key_s
     fn = jax.jit(
         lambda v, b, r: sample_video_windows_parallel(
             model, v, diffusion, schedule, b, obs_length, r
