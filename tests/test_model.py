@@ -301,3 +301,37 @@ def test_dminor_full_model_parity(video_setup, monkeypatch):
     monkeypatch.setenv("VDT_ATTN_DMINOR", "1")
     forced = np.asarray(run())
     np.testing.assert_allclose(base, forced, atol=2e-5)
+
+
+def test_remat_train_grad():
+    """use_checkpoint=True must accept train=True/False through the remat
+    wrappers (train is a static argnum and must be passed positionally at
+    the ResBlock/FactorizedAttentionBlock call sites — regression for the
+    keyword-passed train that broke nn.remat static_argnums)."""
+    from video_diffusion_tpu.models.unet import VideoUNet
+
+    cfg = dict(
+        in_channels=3, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(2,), dropout=0.1, channel_mult=(1, 2),
+        num_heads=2, use_rpe_net=True, use_checkpoint=True,
+    )
+    m = VideoUNet(config=cfg)
+    B, T, S = 1, 4, 8
+    x = jnp.ones((B, T, S, S, 3)) * 0.1
+    t = jnp.zeros((B,), jnp.int32)
+    fi = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, t, frame_indices=fi)
+
+    def loss(p, tr):
+        y = m.apply(
+            {"params": p}, x, t, frame_indices=fi, train=tr,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.mean(y ** 2)
+
+    for tr in (True, False):
+        g = jax.jit(jax.grad(loss), static_argnums=1)(v["params"], tr)
+        total = jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.abs(b).sum(), g, 0.0
+        )
+        assert np.isfinite(float(total))

@@ -59,7 +59,7 @@ def use_fused_attention(use_pallas, capture_attn, backend, head_dim):
     )
 
 
-def _use_dminor_layout(tokens, batch_pixels):
+def _use_dminor_layout(tokens, batch_pixels, train=False):
     """Pick the pixels-on-lanes einsum layout (``VDT_ATTN_DMINOR``: auto/0/1).
 
     For few-token attention over many pixels (temporal attention: T ~ 10
@@ -70,10 +70,17 @@ def _use_dminor_layout(tokens, batch_pixels):
     makes every big intermediate dense. Spatial attention (tokens = H*W,
     batch = frames) keeps the standard layout, which is already
     lane-aligned there. Read at trace time like the other VDT_ knobs.
+
+    auto excludes the TRAINING graph: the layout was built for the
+    inference rollout's HBM ceiling (batched-window sampling), while its
+    backward — pure-VPU reduces over broadcast products — measured ~28%
+    slower end-to-end on the bb-long training step than the standard
+    MXU-dot path (0.14 vs 0.109 s/step, round-4 session 4). Set
+    VDT_ATTN_DMINOR=1 to force it everywhere.
     """
     v = os.environ.get("VDT_ATTN_DMINOR", "auto")
     if v == "auto":
-        return tokens < 64 and batch_pixels >= 64
+        return (not train) and tokens < 64 and batch_pixels >= 64
     return v == "1"
 
 
@@ -342,6 +349,7 @@ class RPEAttention(nn.Module):
         frame_indices=None,
         attn_mask=None,
         capture_attn=False,
+        train=False,
     ):
         if self.transposed_io:
             B, T, D, C = x.shape
@@ -427,7 +435,7 @@ class RPEAttention(nn.Module):
         v = qkv[..., 2 * C :].reshape(B, D, T, H, F)
 
         attn_probe = None
-        if _use_dminor_layout(T, D):
+        if _use_dminor_layout(T, D, train):
             # d-minor variant: same contractions with the pixel axis D kept
             # minor, so q/k/v (B,H,T,F,D) and scores (B,H,i,j,D) stay dense
             # on TPU tiles (see _use_dminor_layout / qkv_layout_probe.json).
@@ -537,6 +545,7 @@ class FactorizedAttentionBlock(nn.Module):
         frame_indices,  # (B, T)
         attn_mask,  # (B, T) or None
         capture_attn=False,
+        train=False,
     ):
         B, T, Hh, Ww, C = x.shape
         use_rpe = self.use_rpe_net or (self.bucket_params is not None)
@@ -573,13 +582,13 @@ class FactorizedAttentionBlock(nn.Module):
             x = temporal(
                 x.reshape(B, T, Hh * Ww, C), temb=temb,
                 frame_indices=frame_indices, attn_mask=attn_mask,
-                capture_attn=capture_attn,
+                capture_attn=capture_attn, train=train,
             )  # (B, T, HW, C) in and out
         else:
             xt = x.reshape(B, T, Hh * Ww, C).transpose(0, 2, 1, 3)
             xt = temporal(
                 xt, temb=temb, frame_indices=frame_indices,
-                attn_mask=attn_mask, capture_attn=capture_attn,
+                attn_mask=attn_mask, capture_attn=capture_attn, train=train,
             )
             x = xt.transpose(0, 2, 1, 3)  # (B, T, HW, C)
         # spatial: tokens = H*W, batch = B x T; no RPE, no mask
@@ -590,7 +599,7 @@ class FactorizedAttentionBlock(nn.Module):
             and os.environ.get("VDT_PALLAS_ATTN_SPATIAL", "1") == "1",
             dtype=self.dtype,
             name="spatial_attention",
-        )(x, capture_attn=capture_attn)
+        )(x, capture_attn=capture_attn, train=train)
         return x.reshape(B, T, Hh, Ww, C)
 
 
@@ -704,7 +713,7 @@ class UNet(nn.Module):
             else ResBlock
         )
         attnblock = (
-            nn.remat(FactorizedAttentionBlock, static_argnums=(5,))
+            nn.remat(FactorizedAttentionBlock, static_argnums=(5, 6))
             if self.use_checkpoint
             else FactorizedAttentionBlock
         )
@@ -735,7 +744,7 @@ class UNet(nn.Module):
             # h: (B*T, H', W', C) -> attention in (B, T, ...) layout
             n, hh, ww, c = h.shape
             hv = h.reshape(-1, attn_T, hh, ww, c)
-            hv = block(hv, temb_bt, self._fi(frame_indices, B, T), self._am(attn_mask, B, T), capture_attn)
+            hv = block(hv, temb_bt, self._fi(frame_indices, B, T), self._am(attn_mask, B, T), capture_attn, train)
             return hv.reshape(n, hh, ww, c)
 
         n_before_attn, first_attn_ds, first_attn_ch = self._first_attn_position()
@@ -762,7 +771,8 @@ class UNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 h = make_res(mult * self.model_channels, f"down_{level}_{i}_res")(
-                    h, emb, train=train
+                    # positional: remat declares train static by argnum
+                    h, emb, train
                 )
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
@@ -797,7 +807,7 @@ class UNet(nn.Module):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = make_res(self.model_channels * mult, f"up_{level}_{i}_res")(
-                    h, emb, train=train
+                    h, emb, train
                 )
                 ch = self.model_channels * mult
                 if ds in self.attention_resolutions:
