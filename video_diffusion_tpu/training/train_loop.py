@@ -471,6 +471,11 @@ class TrainLoop:
                     return
             if (
                 self.sample_interval is not None
+                # <=0 disables in-training sampling entirely, INCLUDING the
+                # step-5 sanity sample: a full unbounded reverse chain at
+                # 64x64 exceeds the remote tunnel's ~60 s per-call deadline
+                # and kills the TPU worker mid-run (observed round 4).
+                and self.sample_interval > 0
                 and self.step != 0
                 and (self.step % self.sample_interval == 0 or self.step == 5)
             ):
