@@ -202,3 +202,17 @@ def test_resume_from_step_named_snapshot(tmp_path, setup):
     assert resume_postfixes(str(tmp_path / "model_latest.pt"), step)[0] == "latest"
     # fallback order covers a half-finished save either way
     assert resume_postfixes(main, step) == ["030000", "latest"]
+
+
+def test_should_sample_gate():
+    from video_diffusion_tpu.training.train_loop import should_sample
+
+    # None / 0 / negative disable sampling entirely, including the step-5
+    # sanity sample (0 % interval would raise ZeroDivisionError)
+    for interval in (None, 0, -1):
+        assert not any(should_sample(s, interval) for s in range(0, 12))
+    # positive interval: fires on multiples and the step-5 sanity sample
+    fired = [s for s in range(0, 12) if should_sample(s, 3)]
+    assert fired == [3, 5, 6, 9]
+    # never at step 0
+    assert not should_sample(0, 1)

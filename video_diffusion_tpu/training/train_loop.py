@@ -171,6 +171,20 @@ def build_train_step(
     return train_step
 
 
+def should_sample(step, sample_interval):
+    """Whether the training loop should log samples at ``step``.
+
+    ``None`` or ``<=0`` disables in-training sampling entirely, INCLUDING
+    the step-5 sanity sample (reference fires it unconditionally,
+    train_util.py:296-300): a full unbounded reverse chain at 64x64
+    exceeds the remote tunnel's ~60 s per-call deadline and kills the TPU
+    worker mid-run (observed round 4). ``0 % interval`` would also raise.
+    """
+    if sample_interval is None or sample_interval <= 0:
+        return False
+    return step != 0 and (step % sample_interval == 0 or step == 5)
+
+
 def resume_postfixes(main_checkpoint, step):
     """Ordered opt/EMA postfix candidates for a resume checkpoint: the one
     matching the resume file's own name first, the other as a fallback (a
@@ -469,16 +483,7 @@ class TrainLoop:
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                     return
-            if (
-                self.sample_interval is not None
-                # <=0 disables in-training sampling entirely, INCLUDING the
-                # step-5 sanity sample: a full unbounded reverse chain at
-                # 64x64 exceeds the remote tunnel's ~60 s per-call deadline
-                # and kills the TPU worker mid-run (observed round 4).
-                and self.sample_interval > 0
-                and self.step != 0
-                and (self.step % self.sample_interval == 0 or self.step == 5)
-            ):
+            if should_sample(self.step, self.sample_interval):
                 self.log_samples()
                 logger.logkv(
                     "timing/time_between_samples", time.time() - last_sample_time
