@@ -96,22 +96,39 @@ class LPIPS:
             self.pretrained = False
             self.provenance = f"random-init:seed{seed}"
 
-        @jax.jit
-        def _features(x):
-            x = (x - _SHIFT) / _SCALE
-            return self.net.apply({"params": self.params}, x)
+        # Params/lins cross the jit boundary as ARGUMENTS (closure capture
+        # would embed them as HLO constants), and the whole distance is one
+        # jitted program: the per-layer eager chain this replaces issued
+        # ~20 tiny device RPCs per call, each of which can be dropped by the
+        # remote-TPU tunnel (observed: video_eval hung >25 min at LPIPS 0%;
+        # the fused call is one RPC and ~0.2s warm).
+        net = self.net
 
-        self._features = _features
+        def _features_impl(params, x):
+            x = (x - _SHIFT) / _SCALE
+            return net.apply({"params": params}, x)
+
+        def _distance_impl(params, lins, x, y):
+            fx = _features_impl(params, x)
+            fy = _features_impl(params, y)
+            total = 0.0
+            for f1, f2, w in zip(fx, fy, lins):
+                d = (_normalize_tensor(f1) - _normalize_tensor(f2)) ** 2
+                total = total + (d * w).sum(axis=-1).mean(axis=(1, 2))
+            return total
+
+        self._features_jit = jax.jit(_features_impl)
+        self._distance_jit = jax.jit(_distance_impl)
+
+    def _features(self, x):
+        return self._features_jit(self.params, x)
 
     def __call__(self, x, y):
         """LPIPS distance per pair; x, y: (B, H, W, 3) in [-1, 1]."""
-        fx = self._features(jnp.asarray(x, jnp.float32))
-        fy = self._features(jnp.asarray(y, jnp.float32))
-        total = 0.0
-        for f1, f2, w in zip(fx, fy, self.lins):
-            d = (_normalize_tensor(f1) - _normalize_tensor(f2)) ** 2
-            total = total + (d * w).sum(axis=-1).mean(axis=(1, 2))
-        return np.asarray(total)
+        return np.asarray(self._distance_jit(
+            self.params, self.lins,
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        ))
 
 
 class LpipsEmbedder(LPIPS):
@@ -122,10 +139,25 @@ class LpipsEmbedder(LPIPS):
     def __call__(self, x):
         if np.asarray(x).shape[-1] != 3:  # accept (B, C, H, W) too
             x = np.moveaxis(np.asarray(x), 1, -1)
-        feats = self._features(jnp.asarray(x, jnp.float32))
-        pieces = []
-        for f, w in zip(feats, self.lins):
-            fn = _normalize_tensor(f) * jnp.sqrt(w)
-            B, H, W, C = fn.shape
-            pieces.append(fn.reshape(B, -1) / np.sqrt(H * W))
-        return np.asarray(jnp.concatenate(pieces, axis=1))
+        return np.asarray(self._embed_jit(
+            self.params, self.lins, jnp.asarray(x, jnp.float32)
+        ))
+
+    @property
+    def _embed_jit(self):
+        # built lazily so LPIPS.__init__ stays the single constructor
+        if not hasattr(self, "_embed_jit_cached"):
+            net = self.net
+
+            def _embed_impl(params, lins, x):
+                x = (x - _SHIFT) / _SCALE
+                feats = net.apply({"params": params}, x)
+                pieces = []
+                for f, w in zip(feats, lins):
+                    fn = _normalize_tensor(f) * jnp.sqrt(w)
+                    B, H, W, C = fn.shape
+                    pieces.append(fn.reshape(B, -1) / np.sqrt(H * W))
+                return jnp.concatenate(pieces, axis=1)
+
+            self._embed_jit_cached = jax.jit(_embed_impl)
+        return self._embed_jit_cached
