@@ -184,18 +184,22 @@ class TensorVideoDataset:
         tensor = _load_pt(tensor_path)
         arr = np.asarray(tensor.numpy() if hasattr(tensor, "numpy") else tensor)
         arr = arr[shard:][::num_shards]
-        self.videos = 2 * arr - 1  # [0,1] -> [-1,1], layout (N,T,C,h,w)
-        self.grayscale = self.videos.shape[2] == 1
+        # Materialize the final (N, T, h, w, 3) float32 layout ONCE at init:
+        # per-item moveaxis/repeat/astype used to re-copy ~160 MB per train
+        # step on this host's single CPU core, gating the step rate (the
+        # jitted device step is faster than the host was).
+        vids = np.ascontiguousarray(
+            np.moveaxis(2 * arr - 1, 2, -1), dtype=np.float32
+        )  # [0,1] -> [-1,1], (N, T, h, w, C)
+        if vids.shape[-1] == 1:
+            vids = np.repeat(vids, 3, axis=-1)
+        self.videos = vids
 
     def __len__(self):
         return len(self.videos)
 
     def __getitem__(self, idx):
-        vid = self.videos[idx]  # (T, C, h, w)
-        vid = np.moveaxis(vid, 1, -1)  # (T, h, w, C)
-        if self.grayscale:
-            vid = np.repeat(vid, 3, axis=-1)
-        return vid.astype(np.float32), {}
+        return self.videos[idx], {}  # (T, h, w, 3) view, zero-copy
 
 
 class NpyVideoDataset(BaseDataset):

@@ -419,17 +419,24 @@ class TrainLoop:
 
     # ------------------------------------------------------------------ #
     def _next_train_batch(self):
-        """Draw data, sample masks host-side, build the device batch dict."""
+        """Draw data, sample masks host-side, build the device batch dict.
+
+        Phase timers (timing/data_wait, timing/mask_sample, timing/h2d) are
+        logkv_mean'd: with one host core, anything here directly gates the
+        step rate once it exceeds the device step time (the loop is
+        software-pipelined but the host is not parallel with itself)."""
+        t0 = time.time()
         batch1 = np.asarray(next(self.data)[0])
         batch2 = (
             np.asarray(next(self.data)[0]) if self.pad_with_random_frames else None
         )
+        t1 = time.time()
         x, frame_indices, obs, latent, marg = self.mask_sampler.sample_all_masks(
             self.rng, batch1, batch2
         )
         t, weights = self.schedule_sampler.sample(x.shape[0], self.rng)
         batch = {
-            "x": x.astype(np.float32),
+            "x": x.astype(np.float32, copy=False),
             "frame_indices": frame_indices,
             "obs_mask": obs,
             "latent_mask": latent,
@@ -437,7 +444,12 @@ class TrainLoop:
             "t": t,
             "weights": weights,
         }
-        return mesh_lib.shard_batch(batch, self.mesh), t
+        t2 = time.time()
+        out = mesh_lib.shard_batch(batch, self.mesh), t
+        logger.logkv_mean("timing/data_wait", t1 - t0)
+        logger.logkv_mean("timing/mask_sample", t2 - t1)
+        logger.logkv_mean("timing/h2d", time.time() - t2)
+        return out
 
     def run_step(self):
         # Software-pipelined: host-side batch prep (mask sampling, gathers)
@@ -448,7 +460,11 @@ class TrainLoop:
         # here the blocking device_get had been serialising host and TPU.)
         batch, t_host = self._next_train_batch()
         self.jrng, step_rng = jax.random.split(self.jrng)
+        t0 = time.time()
         self.state, metrics = self._train_step(self.state, batch, step_rng)
+        # async dispatch: this measures enqueue + any back-pressure block,
+        # i.e. the time the host is stalled *waiting for the device*
+        logger.logkv_mean("timing/dispatch", time.time() - t0)
         if self._pending_metrics is not None:
             self._log_metrics(*self._pending_metrics)
         self._pending_metrics = (metrics, t_host, self.step)
@@ -498,7 +514,12 @@ class TrainLoop:
     # ------------------------------------------------------------------ #
     def _log_metrics(self, metrics, t_host, step=None):
         step = self.step if step is None else step
+        t0 = time.time()
         metrics = jax.device_get(metrics)
+        # blocks until the *previous* step finishes on device (the loop's
+        # only sync point): device-bound runs show the device remainder
+        # here, host-bound runs show ~tunnel RTT only
+        logger.logkv_mean("timing/metrics_get", time.time() - t0)
         logger.logkv("step", step)
         lr = make_lr_schedule(self.lr, self.iterations, self.lr_anneal_steps)(
             step
