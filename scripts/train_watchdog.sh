@@ -14,14 +14,20 @@ PIDFILE=$1; LOG=$2; STALL=$3; shift 3
 [ "$1" = "--" ] && shift
 
 count_progress() {
-  # total kv dump count across every openai logdir (cheap: grep -c, no jax
-  # imports). Summing instead of "newest dir" keeps the counter monotone
-  # when other processes (pytest, probes) create their own /tmp/openai-*
-  # dirs after the trainer's.
+  # total kv dump count across the logdirs THIS run announced ("Logging to
+  # /tmp/openai-..." header lines in LOG — one per trainer (re)start).
+  # Counting only announced dirs keeps foreign processes (probes, pytest)
+  # from masking a stall: observed 2026-08-20, a measure_train_step probe's
+  # own "| step" dumps reset the stall timer while the trainer sat wedged
+  # for >1 h. Summing across all announced dirs keeps the counter monotone
+  # across watchdog restarts.
   # grep -c prints the count even when it is 0 (exit code 1), so capture
   # rather than `|| echo 0` (which would emit a second line on zero).
-  local n
-  n=$(cat /tmp/openai-*/log.txt 2>/dev/null | grep -ac "| step ")
+  local dirs n
+  dirs=$(grep -ao "Logging to /tmp/openai-[0-9-]*" "$LOG" 2>/dev/null |
+         awk '{print $3}' | sort -u)
+  [ -z "$dirs" ] && { echo 0; return; }
+  n=$(for d in $dirs; do cat "$d"/log.txt 2>/dev/null; done | grep -ac "| step ")
   echo "${n:-0}"
 }
 
