@@ -303,6 +303,30 @@ def test_dminor_full_model_parity(video_setup, monkeypatch):
     np.testing.assert_allclose(base, forced, atol=2e-5)
 
 
+def test_pallas_temporal_gate(monkeypatch):
+    """VDT_PALLAS_ATTN_TEMPORAL=auto routes temporal attention off the fused
+    kernel exactly where the d-minor einsum layout applies — the config the
+    round-4 bench A/B measured fastest (baselines/bench_ab_r4.json); 0/1
+    force einsum/kernel respectively."""
+    from video_diffusion_tpu.models.unet import _pallas_temporal_enabled
+
+    monkeypatch.delenv("VDT_PALLAS_ATTN_TEMPORAL", raising=False)
+    monkeypatch.delenv("VDT_ATTN_DMINOR", raising=False)
+    # inference, few tokens over many pixels -> einsum/d-minor path
+    assert not _pallas_temporal_enabled(10, 64 * 64, train=False)
+    # many tokens: d-minor does not apply -> fused kernel stays
+    assert _pallas_temporal_enabled(64, 64 * 64, train=False)
+    # few batch pixels: d-minor does not apply -> fused kernel stays
+    assert _pallas_temporal_enabled(10, 32, train=False)
+    # training graphs never take d-minor -> kernel (trainable wrapper) stays
+    assert _pallas_temporal_enabled(10, 64 * 64, train=True)
+    # explicit force overrides auto in both directions
+    monkeypatch.setenv("VDT_PALLAS_ATTN_TEMPORAL", "1")
+    assert _pallas_temporal_enabled(10, 64 * 64, train=False)
+    monkeypatch.setenv("VDT_PALLAS_ATTN_TEMPORAL", "0")
+    assert not _pallas_temporal_enabled(64, 64 * 64, train=False)
+
+
 def test_remat_train_grad():
     """use_checkpoint=True must accept train=True/False through the remat
     wrappers (train is a static argnum and must be passed positionally at

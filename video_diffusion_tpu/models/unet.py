@@ -84,6 +84,26 @@ def _use_dminor_layout(tokens, batch_pixels, train=False):
     return v == "1"
 
 
+def _pallas_temporal_enabled(tokens, batch_pixels, train=False):
+    """Gate the fused Pallas kernel on the TEMPORAL attention axis
+    (``VDT_PALLAS_ATTN_TEMPORAL``: auto/0/1).
+
+    The round-4 bench A/B (baselines/bench_ab_r4.json, flagship rollout,
+    warm cache, same chip/day) measured the einsum path with the d-minor
+    layout faster than the fused kernel on the few-token temporal axis
+    (5.611 vs 5.547 frames/s end-to-end), while spatial attention stays
+    fastest on the fused kernel. ``auto`` therefore routes temporal
+    attention to the einsum path exactly where ``_use_dminor_layout``
+    applies (inference, <64 tokens over >=64 pixels) and keeps the fused
+    kernel otherwise. ``1`` forces the kernel, ``0`` forces einsum.
+    Read at trace time like the other VDT_ knobs.
+    """
+    v = os.environ.get("VDT_PALLAS_ATTN_TEMPORAL", "auto")
+    if v == "auto":
+        return not _use_dminor_layout(tokens, batch_pixels, train)
+    return v == "1"
+
+
 def _conv(features, kernel=3, stride=1, zero=False, dtype=jnp.float32, name=None):
     return nn.Conv(
         features,
@@ -552,13 +572,12 @@ class FactorizedAttentionBlock(nn.Module):
         # temporal: tokens = T, batch = B x (H*W). With fused transposed io
         # the (B, T, HW, C) activation feeds the kernel directly and the
         # temporal<->spatial transpose happens inside its VMEM tile.
-        # VDT_PALLAS_ATTN_TEMPORAL=0 keeps spatial attention on the fused
-        # kernel while routing temporal attention to the XLA einsum path
-        # (where the d-minor layout applies, see _use_dminor_layout) — the
-        # A/B arm for Pallas-vs-dminor on the few-token temporal axis.
-        temporal_pallas = (
-            self.use_pallas
-            and os.environ.get("VDT_PALLAS_ATTN_TEMPORAL", "1") == "1"
+        # VDT_PALLAS_ATTN_TEMPORAL (default auto) routes temporal attention
+        # to the XLA einsum path where the d-minor layout applies — measured
+        # faster than the fused kernel there (bench_ab_r4.json); spatial
+        # attention stays on the fused kernel. See _pallas_temporal_enabled.
+        temporal_pallas = self.use_pallas and _pallas_temporal_enabled(
+            T, Hh * Ww, train
         )
         fuse_transpose = (
             temporal_pallas
