@@ -204,6 +204,53 @@ def test_resume_from_step_named_snapshot(tmp_path, setup):
     assert resume_postfixes(main, step) == ["030000", "latest"]
 
 
+def test_prefetch_batch_stream_identical(tiny_video_model_and_diffusion, monkeypatch):
+    """_take_next_batch (one-step worker-thread prefetch, VDT_PREFETCH=1)
+    must produce the exact same batch stream as the unprefetched
+    _next_train_batch — same single consumer, same rng draw order, just one
+    step early."""
+    from video_diffusion_tpu.training.masks import MaskSampler
+    from video_diffusion_tpu.training.resample import UniformSampler
+    from video_diffusion_tpu.training.train_loop import TrainLoop
+
+    _, diffusion = tiny_video_model_and_diffusion
+
+    def make_stub():
+        stub = TrainLoop.__new__(TrainLoop)
+        rng = np.random.default_rng(7)
+
+        def gen():
+            while True:
+                yield (rng.standard_normal((8, 8, 8, 8, 3)).astype(np.float32),)
+
+        stub.data = gen()
+        stub.pad_with_random_frames = True
+        stub.mask_sampler = MaskSampler(max_frames=4)
+        stub.schedule_sampler = UniformSampler(diffusion)
+        stub.rng = np.random.default_rng(3)
+        stub.mesh = mesh_lib.make_mesh()
+        stub._prefetch_pool = None
+        stub._batch_future = None
+        return stub
+
+    monkeypatch.setenv("VDT_PREFETCH", "1")
+    pre, plain = make_stub(), make_stub()
+    for _ in range(4):
+        batch_p, t_p, _ = pre._take_next_batch()
+        batch_n, t_n, _ = plain._next_train_batch()
+        np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_n))
+        for k in batch_n:
+            np.testing.assert_array_equal(
+                np.asarray(batch_p[k]), np.asarray(batch_n[k]), err_msg=k
+            )
+    pre._prefetch_pool.shutdown(wait=True)
+    # VDT_PREFETCH=0 opts out entirely (no pool is ever created)
+    monkeypatch.setenv("VDT_PREFETCH", "0")
+    off = make_stub()
+    off._take_next_batch()
+    assert off._prefetch_pool is None
+
+
 def test_should_sample_gate():
     from video_diffusion_tpu.training.train_loop import should_sample
 

@@ -266,6 +266,8 @@ class TrainLoop:
         self.n_valid_repeats = n_valid_repeats
         self.n_interesting_masks = n_interesting_masks
         self._pending_metrics = None  # (metrics, t) of the not-yet-logged step
+        self._prefetch_pool = None  # lazy ThreadPoolExecutor(1), _take_next_batch
+        self._batch_future = None  # in-flight prefetched (batch, t, timings)
         self.mask_sampler = MaskSampler(
             mask_distribution=mask_distribution,
             max_frames=max_frames,
@@ -421,10 +423,14 @@ class TrainLoop:
     def _next_train_batch(self):
         """Draw data, sample masks host-side, build the device batch dict.
 
-        Phase timers (timing/data_wait, timing/mask_sample, timing/h2d) are
-        logkv_mean'd: with one host core, anything here directly gates the
-        step rate once it exceeds the device step time (the loop is
-        software-pipelined but the host is not parallel with itself)."""
+        Returns ``(device_batch, t_host, timings)``; the caller logs the
+        phase timers (timing/data_wait, timing/mask_sample, timing/h2d) so
+        this function stays safe to run on the prefetch worker thread (the
+        kv logger is only ever touched from the main thread). With one host
+        core, anything here gates the step rate once it exceeds the device
+        step time — unless it runs on the prefetch thread, where it
+        overlaps the main thread's blocking device waits (dispatch
+        back-pressure and the metrics device_get release the GIL)."""
         t0 = time.time()
         batch1 = np.asarray(next(self.data)[0])
         batch2 = (
@@ -445,10 +451,41 @@ class TrainLoop:
             "weights": weights,
         }
         t2 = time.time()
-        out = mesh_lib.shard_batch(batch, self.mesh), t
-        logger.logkv_mean("timing/data_wait", t1 - t0)
-        logger.logkv_mean("timing/mask_sample", t2 - t1)
-        logger.logkv_mean("timing/h2d", time.time() - t2)
+        device_batch = mesh_lib.shard_batch(batch, self.mesh)
+        timings = {
+            "timing/data_wait": t1 - t0,
+            "timing/mask_sample": t2 - t1,
+            "timing/h2d": time.time() - t2,
+        }
+        return device_batch, t, timings
+
+    def _take_next_batch(self):
+        """Return the next train batch, one-step prefetched on a worker
+        thread (``VDT_PREFETCH=0`` opts out).
+
+        The worker starts preparing batch N+1 as soon as batch N is taken,
+        so the ~0.2 s of single-core host work per step (data draw, numpy
+        mask sampling/gathers, device_put) runs while the main thread is
+        blocked waiting on the device (those waits release the GIL). Draw
+        order from ``self.rng``/``self.data`` is unchanged — the same
+        single consumer executes the same code in the same order, just one
+        step early — so the produced batch stream is bit-identical to the
+        unprefetched loop (unit-tested). With a loss-aware schedule sampler
+        the prefetched draw sees importance weights one step staler than
+        the unprefetched loop would — the usual, benign cost of pipelining
+        (the reference's CUDA-stream overlap has the same property)."""
+        if os.environ.get("VDT_PREFETCH", "1") != "1":
+            return self._next_train_batch()
+        if self._prefetch_pool is None:
+            import concurrent.futures
+
+            self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="batch-prefetch"
+            )
+        fut = self._batch_future
+        self._batch_future = None
+        out = fut.result() if fut is not None else self._next_train_batch()
+        self._batch_future = self._prefetch_pool.submit(self._next_train_batch)
         return out
 
     def run_step(self):
@@ -458,7 +495,9 @@ class TrainLoop:
         # `jax.device_get` never stalls an idle device. (The reference's
         # torch loop gets the same overlap implicitly from CUDA streams;
         # here the blocking device_get had been serialising host and TPU.)
-        batch, t_host = self._next_train_batch()
+        batch, t_host, timings = self._take_next_batch()
+        for k, v in timings.items():
+            logger.logkv_mean(k, v)
         self.jrng, step_rng = jax.random.split(self.jrng)
         t0 = time.time()
         self.state, metrics = self._train_step(self.state, batch, step_rng)
