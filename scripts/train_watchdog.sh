@@ -92,6 +92,15 @@ cpu_time() {
   echo "${stat##*) }" | awk '{print $12 + $13}'
 }
 
+# Launch immediately if no trainer is attached to LOG (observed round 4:
+# the watchdog alone was started and the first launch waited out a full
+# stall window). log_writers is the ground truth — the archiver only greps
+# LOG periodically and never holds it open.
+if [ -z "$(log_writers)" ]; then
+  echo "[watchdog] no trainer attached to $LOG — launching"
+  restart "$@"
+fi
+
 last=$(count_progress); lastcpu=$(cpu_time); lastchange=$(date +%s)
 while true; do
   sleep 60
