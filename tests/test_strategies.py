@@ -8,10 +8,14 @@ import pytest
 from video_diffusion_tpu.sampling.strategies import inference_strategies
 from video_diffusion_tpu.sampling.sampler import compile_schedule
 
+ADAPTIVE = [k for k in inference_strategies if "adaptive" in k]
+FOR_VIS = [k for k in inference_strategies if "for-vis" in k]
 NON_ADAPTIVE = [
-    k for k in inference_strategies
-    if "adaptive" not in k and "for-vis" not in k
+    k for k in inference_strategies if k not in ADAPTIVE and k not in FOR_VIS
 ]
+# every registry entry is invariant-tested by exactly one of the three
+# parametrizations below (reference inference_util.py:779-799 has 20 entries)
+assert sorted(ADAPTIVE + FOR_VIS + NON_ADAPTIVE) == sorted(inference_strategies)
 
 
 def _make(mode, video_length=100, num_obs=36, max_frames=16, step_size=4):
@@ -58,6 +62,140 @@ def test_strategy_unconditional_bootstrap(mode):
     obs, latent = next(iter(s))
     assert obs == []
     assert len(latent) == s._max_frames
+
+
+@pytest.mark.parametrize("mode", ADAPTIVE)
+def test_adaptive_strategy_invariants(mode):
+    """Adaptive modes yield per-batch-element obs lists; the reference's
+    runtime invariants (inference_util.py:108-112, 201-205) must hold for
+    every element: condition only on generated frames, done set monotone,
+    termination, full coverage."""
+    B, T = 2, 100
+    rng = np.random.default_rng(0)
+    videos = rng.uniform(-1.0, 1.0, size=(B, T, 8, 8, 3)).astype(np.float32)
+    s = inference_strategies[mode](
+        distance="l2", video_length=T, num_obs=36, max_frames=16, step_size=4
+    )
+    s.set_videos(videos)
+    done = set(s._done_frames)
+    n_steps = 0
+    for obs, latent in s:
+        n_steps += 1
+        assert n_steps < 1000, "strategy failed to terminate"
+        # per-batch-element lists, latents shared across the batch
+        assert len(obs) == B and len(latent) == B
+        lat = latent[0]
+        assert all(l == lat for l in latent)
+        assert len(lat) > 0
+        for b in range(B):
+            assert len(obs[b]) + len(lat) <= s._max_frames
+            for i in obs[b]:
+                assert i in done, f"{mode}: conditioned on ungenerated frame {i}"
+        assert all(0 <= i < T for i in lat)
+        done.update(lat)
+    assert done == set(range(T))
+
+
+@pytest.mark.parametrize("mode", ADAPTIVE)
+def test_adaptive_unconditional_bootstrap(mode):
+    B, T = 3, 40
+    videos = np.zeros((B, T, 4, 4, 3), dtype=np.float32)
+    s = inference_strategies[mode](
+        distance="l2", video_length=T, num_obs=0, max_frames=8, step_size=2
+    )
+    s.set_videos(videos)
+    obs, latent = next(iter(s))
+    assert obs == [[]] * B
+    assert len(latent) == B and len(latent[0]) == s._max_frames
+
+
+def test_adaptive_autoreg_selects_distinct_obs_per_element():
+    """The greedy max-min-distance pick depends on content: elements with
+    different content may choose different observation sets."""
+    B, T = 2, 30
+    rng = np.random.default_rng(1)
+    videos = rng.uniform(-1.0, 1.0, size=(B, T, 8, 8, 1)).astype(np.float32)
+    # element 1: all generated frames identical -> picks are degenerate
+    videos[1] = videos[1, :1]
+    s = inference_strategies["adaptive-autoreg"](
+        distance="l2", video_length=T, num_obs=10, max_frames=8, step_size=2
+    )
+    s.set_videos(videos)
+    obs, latent = next(iter(s))
+    assert len(obs) == B
+    # always_selected=(0,): both start from the most recent frame
+    assert obs[0][0] == obs[1][0] == 9
+    assert sorted(set(obs[0])) == sorted(obs[0]), "no duplicate obs"
+
+
+def test_adaptive_lpips_embedder_path():
+    """The 'lpips' distance routes through eval.lpips.LpipsEmbedder (random
+    weights in-sandbox); one tiny smoke iteration to pin the wiring."""
+    B, T = 1, 16
+    rng = np.random.default_rng(2)
+    videos = rng.uniform(-1.0, 1.0, size=(B, T, 8, 8, 3)).astype(np.float32)
+    s = inference_strategies["adaptive-autoreg"](
+        distance="lpips", video_length=T, num_obs=6, max_frames=6, step_size=3
+    )
+    s.set_videos(videos)
+    obs, latent = next(iter(s))
+    assert len(obs[0]) == 3 and all(i < 6 for i in obs[0])
+
+
+def test_ho_et_al_for_vis_protocol():
+    """Fixed 64-frame visualisation protocol (inference_util.py:596-612):
+    unconditional linspace bootstrap then sequential 9-frame infill windows,
+    with the 64-overflow frame swapped for obs frame 55."""
+    s = inference_strategies["ho-et-al-for-vis"](
+        video_length=64, num_obs=0, max_frames=16, step_size=4
+    )
+    done = set()
+    n_steps = 0
+    first = True
+    for obs, latent in s:
+        n_steps += 1
+        assert n_steps < 200
+        if first:
+            # base-class bootstrap (num_obs=0, step 0) yields range(max_frames)
+            # exactly as the reference does (inference_util.py:85-90) — the
+            # linspace branch inside next_indices is only directly reachable
+            assert obs == []
+            assert latent == list(range(16))
+            first = False
+        else:
+            assert len(obs) + len(latent) <= 16
+            for i in obs:
+                assert i in done, f"conditioned on ungenerated frame {i}"
+        assert all(0 <= i < 64 for i in latent)
+        done.update(latent)
+    assert done == set(range(64))
+    # the linspace schedule in next_indices (reference :598-602) — reachable
+    # only when _done_frames is empty, which the base bootstrap pre-empts
+    s2 = inference_strategies["ho-et-al-for-vis"](
+        video_length=64, num_obs=0, max_frames=16, step_size=4
+    )
+    obs, latent = s2.next_indices()
+    assert obs == [] and latent == [int(i) for i in np.linspace(0, 60, 16)]
+
+
+def test_baby_cond_ho_et_al_for_vis_protocol():
+    """Fixed 7-step schedule (inference_util.py:585-593). The custom __iter__
+    bypasses the base __next__ bookkeeping, so done-frame tracking is the
+    caller's: with the first 10 frames observed, every conditioned frame is
+    either observed or previously generated and frames 10..29 get covered."""
+    s = inference_strategies["baby-cond-ho-et-al-for-vis"](
+        video_length=30, num_obs=10, max_frames=7, step_size=3
+    )
+    done = set(range(10))
+    steps = list(s)
+    assert len(steps) == 7
+    for obs, latent in steps:
+        assert len(obs) + len(latent) <= 7
+        for i in obs:
+            assert i in done, f"conditioned on ungenerated frame {i}"
+        assert all(0 <= i < 30 for i in latent)
+        done.update(latent)
+    assert done == set(range(30))
 
 
 def test_autoreg_shape():
