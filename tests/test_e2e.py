@@ -36,6 +36,123 @@ def run(cmd, **env):
     return r
 
 
+def _write_png_dir(path, n=4, size=64):
+    """Tiny image-folder dataset with class-from-filename labels
+    (reference image_datasets.py:75-130 layout)."""
+    from PIL import Image
+
+    path.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(path / f"class{i % 2}_{i:03d}.png")
+
+
+# shared tiny-model flags; image_sample/image_nll rebuild the model from CLI
+# flags (reference scripts/image_sample.py semantics), so train and downstream
+# commands must agree on these
+IMG_FLAGS = [
+    "--image_size", "32", "--num_channels", "32", "--num_res_blocks", "1",
+    "--num_heads", "2", "--diffusion_steps", "32", "--use_bf16", "False",
+]
+
+
+def test_image_train_sample_nll_roundtrip(tmp_path):
+    """The original improved-diffusion image pipeline end-to-end
+    (reference scripts/image_train.py + image_sample.py:59-66 +
+    image_nll.py:46-83): train 3 steps, sample to samples_*.npz, bpd eval."""
+    data_dir = tmp_path / "images"
+    _write_png_dir(data_dir, n=4, size=64)
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    run(
+        [sys.executable, "scripts/image_train.py", "--data_dir", str(data_dir),
+         *IMG_FLAGS, "--batch_size", "2", "--iterations", "3",
+         "--save_interval", "2", "--log_interval", "1", "--lr", "1e-4",
+         "--save_latest_only", "True"],
+        DIFFUSION_TRAINING_TEST="1",
+        DIFFUSION_BLOB_LOGDIR=str(ckdir),
+        OPENAI_LOGDIR=str(tmp_path / "logs"),
+        VDT_RUN_ID="img-e2e",
+    )
+    ckpt = ckdir / "img-e2e" / "model_latest.pt"
+    assert ckpt.exists()
+
+    sample_dir = tmp_path / "sample-out"
+    run(
+        [sys.executable, "scripts/image_sample.py", "--model_path", str(ckpt),
+         *IMG_FLAGS, "--num_samples", "2", "--batch_size", "2",
+         "--use_ddim", "True", "--timestep_respacing", "ddim2"],
+        OPENAI_LOGDIR=str(sample_dir),
+    )
+    npzs = list(sample_dir.glob("samples_*.npz"))
+    assert len(npzs) == 1
+    with np.load(npzs[0]) as obj:
+        arr = obj["arr_0"]
+    assert arr.shape == (2, 32, 32, 3) and arr.dtype == np.uint8
+
+    nll_dir = tmp_path / "nll-out"
+    run(
+        [sys.executable, "scripts/image_nll.py", "--model_path", str(ckpt),
+         "--data_dir", str(data_dir), *IMG_FLAGS,
+         "--num_samples", "2", "--batch_size", "2"],
+        OPENAI_LOGDIR=str(nll_dir),
+    )
+    for name in ("vb", "mse", "xstart_mse"):
+        terms = list(nll_dir.glob(f"{name}_terms.npz"))
+        assert len(terms) == 1
+        with np.load(terms[0]) as obj:
+            t = obj["arr_0"]
+        assert t.shape == (32,) and np.isfinite(t).all()
+
+
+def test_super_res_train_sample_roundtrip(tmp_path):
+    """SR cascade end-to-end (reference scripts/super_res_train.py:60-75 +
+    super_res_sample.py:76-99): train on (64, area-downsampled 16) pairs,
+    then super-resolve a base npz of 16x16 images to 64x64."""
+    data_dir = tmp_path / "images"
+    _write_png_dir(data_dir, n=4, size=64)
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    sr_flags = [
+        "--large_size", "64", "--small_size", "16", "--num_channels", "32",
+        "--num_res_blocks", "1", "--num_heads", "2", "--diffusion_steps", "32",
+        "--use_bf16", "False",
+    ]
+    run(
+        [sys.executable, "scripts/super_res_train.py",
+         "--data_dir", str(data_dir), *sr_flags, "--batch_size", "1",
+         "--iterations", "2", "--save_interval", "1", "--log_interval", "1",
+         "--save_latest_only", "True"],
+        DIFFUSION_TRAINING_TEST="1",
+        DIFFUSION_BLOB_LOGDIR=str(ckdir),
+        OPENAI_LOGDIR=str(tmp_path / "logs"),
+        VDT_RUN_ID="sr-e2e",
+    )
+    ckpt = ckdir / "sr-e2e" / "model_latest.pt"
+    assert ckpt.exists()
+
+    # base model output stand-in: uint8 low-res images in arr_0
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    base_path = tmp_path / "samples_2x16x16x3.npz"
+    np.savez(base_path, base)
+
+    sample_dir = tmp_path / "sr-out"
+    run(
+        [sys.executable, "scripts/super_res_sample.py",
+         "--model_path", str(ckpt), "--base_samples", str(base_path),
+         *sr_flags, "--num_samples", "2", "--batch_size", "2",
+         "--use_ddim", "True", "--timestep_respacing", "ddim2"],
+        OPENAI_LOGDIR=str(sample_dir),
+    )
+    npzs = list(sample_dir.glob("samples_*.npz"))
+    assert len(npzs) == 1
+    with np.load(npzs[0]) as obj:
+        arr = obj["arr_0"]
+    assert arr.shape == (2, 64, 64, 3) and arr.dtype == np.uint8
+
+
 def test_train_sample_eval_roundtrip(tmp_path):
     ckdir = tmp_path / "checkpoints"
     ckdir.mkdir()
