@@ -113,6 +113,44 @@ def test_fused_attention_no_rpe_no_mask_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_fused_attention_dot_bf16_parity():
+    """VDT_ATTN_DOT_BF16 narrows the score/value dot *operands* to bf16 with
+    f32 accumulation; the result must match the f32-operand kernel to bf16
+    tolerance (relative ~1e-2 on O(1) activations)."""
+    from video_diffusion_tpu.models.unet import RPEAttention
+    from video_diffusion_tpu.ops.fused_attention import fused_rpe_attention
+
+    B, D, T, C, H = 1, 4, 16, 64, 4
+    att = RPEAttention(channels=C, num_heads=H)
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, D, T, C))
+    v = att.init(jax.random.PRNGKey(6), x)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef,
+        [p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+         for p, k in zip(leaves, keys)],
+    )
+    ref = att.apply(v, x)
+    p = v["params"]
+    args = (
+        x, p["norm_scale"], p["norm_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"],
+    )
+    base = fused_rpe_attention(*args, num_heads=H, interpret=True)
+    got = fused_rpe_attention(
+        *args, num_heads=H, interpret=True, dot_bf16=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+    # and the default stays exact vs the einsum path
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref), atol=3e-5)
+
+
 def test_group_norm_silu_mod_parity():
     """Per-sample FiLM modulation path (ResBlock scale-shift norm)."""
     N, S, C = 3, 16, 64

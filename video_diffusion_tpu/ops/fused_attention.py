@@ -84,7 +84,7 @@ def _kernel(
     rk_ref, rq_ref, rv_ref, bias_ref, o_ref, *scratch,
     num_heads, num_groups, eps, scale, use_rpe, use_mask,
     in_transposed=False, out_transposed=False, dense=False,
-    softmax_mode="f32",
+    softmax_mode="f32", dot_bf16=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -127,6 +127,15 @@ def _kernel(
     )  # (dT*T, 3C) f32
 
     sec = H * F  # width of each of the q/k/v sections (==C unless padded)
+
+    # operand dtype for the score/value dots: the qkv output is f32 (bias add
+    # + f32 accumulation), so by default the attention dots run with f32
+    # operands at HALF the MXU's bf16 rate. dot_bf16 narrows the *operands*
+    # to bf16 while keeping f32 accumulation (preferred_element_type) — the
+    # same contract as the bf16 qkv/proj matmuls either side of it. Scores
+    # change by O(1e-3) relative; softmax output tolerance is covered by the
+    # same argument as _softmax's bf16 mode. Opt-in via VDT_ATTN_DOT_BF16.
+    dot_t = jnp.bfloat16 if dot_bf16 else jnp.float32
 
     if dense:
         # ---- head-packed ("dense group") attention ---------------------- #
@@ -196,7 +205,7 @@ def _kernel(
              for h in range(H)], axis=1,
         )
         attn = jax.lax.dot_general(
-            qp, kp,
+            qp.astype(dot_t), kp.astype(dot_t),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (dT, HT, HT)
@@ -206,30 +215,30 @@ def _kernel(
             # -1e9-masked before softmax, so their garbage never surfaces)
             # attn[d, (ht), (h's)] += sum_f q[d,(ht),f] * Rk[t,s,h,f]
             attn += jax.lax.dot_general(
-                qp.transpose(1, 0, 2),  # (HT, dT, F)
-                rkt_s[:],
+                qp.astype(dot_t).transpose(1, 0, 2),  # (HT, dT, F)
+                rkt_s[:].astype(dot_t),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).transpose(1, 0, 2)
             # attn[d, (h t), (h s)] += sum_f k_scaled[d,(hs),f] * Rq[s,t,h,f]
             attn += jax.lax.dot_general(
-                (kp * scale).transpose(1, 0, 2),  # (HS, dT, F)
-                rqt_s[:],
+                (kp * scale).astype(dot_t).transpose(1, 0, 2),  # (HS, dT, F)
+                rqt_s[:].astype(dot_t),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).transpose(1, 2, 0)  # (HS, dT, HT) -> (dT, HT, HS)
         attn += mask_s[:][None]
         attn = _softmax(attn, softmax_mode)
         out_p = jax.lax.dot_general(
-            attn, vp,
+            attn.astype(dot_t), vp.astype(dot_t),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (dT, HT, F)
         if use_rpe:
             # out[d,(ht),f] += sum_s attn[d,(ht),(hs)] * Rv[t,s,h,f]
             out_p += jax.lax.dot_general(
-                attn.transpose(1, 0, 2),  # (HT, dT, HS)
-                rvt_s[:],
+                attn.astype(dot_t).transpose(1, 0, 2),  # (HT, dT, HS)
+                rvt_s[:].astype(dot_t),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).transpose(1, 0, 2)
@@ -257,23 +266,23 @@ def _kernel(
         kh = qkv[:, sec + h * F: sec + (h + 1) * F].reshape(dT, T, F)
         vh = qkv[:, 2 * sec + h * F: 2 * sec + (h + 1) * F].reshape(dT, T, F)
         attn = jax.lax.dot_general(
-            qh, kh,
+            qh.astype(dot_t), kh.astype(dot_t),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (dT, T, T)
         if use_rpe:
-            rk = rk_ref[0, :, :, h].astype(jnp.float32)  # (T, S, F)
-            rq = rq_ref[0, :, :, h].astype(jnp.float32)
+            rk = rk_ref[0, :, :, h].astype(dot_t)  # (T, S, F)
+            rq = rq_ref[0, :, :, h].astype(dot_t)
             # attn[d,t,s] += sum_f q[d,t,f] * Rk[t,s,f]   (batch over t)
             attn += jax.lax.dot_general(
-                qh.transpose(1, 0, 2),  # (t, dT, F)
+                qh.astype(dot_t).transpose(1, 0, 2),  # (t, dT, F)
                 rk,                     # (t, S, F)
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).transpose(1, 0, 2)
             # attn[d,t,s] += sum_f k_scaled[d,s,f] * Rq[s,t,f]  (batch over s)
             add = jax.lax.dot_general(
-                (kh * scale).transpose(1, 0, 2),  # (s, dT, F)
+                (kh * scale).astype(dot_t).transpose(1, 0, 2),  # (s, dT, F)
                 rq,                               # (s, T(t), F)
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -283,15 +292,15 @@ def _kernel(
             attn += bias_ref[0][None]
         attn = _softmax(attn, softmax_mode)
         out_h = jax.lax.dot_general(
-            attn, vh,
+            attn.astype(dot_t), vh.astype(dot_t),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (dT, T, F)
         if use_rpe:
-            rv = rv_ref[0, :, :, h].astype(jnp.float32)  # (T, S, F)
+            rv = rv_ref[0, :, :, h].astype(dot_t)  # (T, S, F)
             # out[d,t,f] += sum_s attn[d,t,s] * Rv[t,s,f]   (batch over t)
             out_h += jax.lax.dot_general(
-                attn.transpose(1, 0, 2),  # (t, dT, s)
+                attn.astype(dot_t).transpose(1, 0, 2),  # (t, dT, s)
                 rv,                        # (t, s, F)
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -317,7 +326,7 @@ def fused_rpe_attention(
     r_k=None, r_q=None, r_v=None, mask_bias=None,
     *, num_heads, num_groups=32, eps=1e-5, interpret=False,
     in_transposed=False, out_transposed=False, dense=None,
-    softmax_mode=None,
+    softmax_mode=None, dot_bf16=None,
 ):
     """Entry point: resolves the env-driven choices (head packing, softmax
     precision) OUTSIDE the jit so they participate in the cache key and env
@@ -348,6 +357,11 @@ def fused_rpe_attention(
             dense = False
     if softmax_mode is None:
         softmax_mode = os.environ.get("VDT_ATTN_SOFTMAX", "f32")
+    if dot_bf16 is None:
+        # bf16 *operands* for the score/value/RPE dots (f32 accumulation):
+        # the qkv output is f32, so these dots otherwise run at the MXU's
+        # half-rate f32 throughput. Opt-in pending the on-device A/B.
+        dot_bf16 = os.environ.get("VDT_ATTN_DOT_BF16", "0") == "1"
     # resolve the VMEM tile budget here (unjitted) so it participates in
     # the jit cache key; None = _pick_tile's dense-dependent default
     tile_mb = os.environ.get("VDT_ATTN_TILE_MB", "")
@@ -358,7 +372,8 @@ def fused_rpe_attention(
         num_heads=num_heads, num_groups=num_groups, eps=eps,
         interpret=interpret, in_transposed=in_transposed,
         out_transposed=out_transposed, dense=dense,
-        softmax_mode=softmax_mode, tile_budget_bytes=tile_budget_bytes,
+        softmax_mode=softmax_mode, dot_bf16=dot_bf16,
+        tile_budget_bytes=tile_budget_bytes,
     )
 
 
@@ -367,7 +382,7 @@ def fused_rpe_attention(
     static_argnames=(
         "num_heads", "num_groups", "eps", "interpret",
         "in_transposed", "out_transposed", "dense", "softmax_mode",
-        "tile_budget_bytes",
+        "dot_bf16", "tile_budget_bytes",
     ),
 )
 def _fused_rpe_attention_impl(
@@ -375,7 +390,7 @@ def _fused_rpe_attention_impl(
     r_k=None, r_q=None, r_v=None, mask_bias=None,
     *, num_heads, num_groups=32, eps=1e-5, interpret=False,
     in_transposed=False, out_transposed=False, dense=False,
-    softmax_mode="f32", tile_budget_bytes=None,
+    softmax_mode="f32", dot_bf16=False, tile_budget_bytes=None,
 ):
     """x: (B, D, T, C) -> (B, D, T, C). R tensors: (B, T, T, H, F) or None;
     mask_bias: (B, T, T) additive (0 / large-negative) or None.
@@ -490,6 +505,7 @@ def _fused_rpe_attention_impl(
             use_rpe=use_rpe, use_mask=use_mask,
             in_transposed=in_transposed, out_transposed=out_transposed,
             dense=dense, softmax_mode=softmax_mode or "f32",
+            dot_bf16=dot_bf16,
         ),
         out_shape=out_shape,
         grid=grid,
