@@ -68,12 +68,20 @@ def main():
     parser.add_argument("--res", type=int, default=32)
     parser.add_argument("--n_balls", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--only_split", choices=["train", "test"], default=None,
+        help="regenerate just one split (splits are independently seeded: "
+        "seed for train, seed+1 for test, so enlarging one leaves the other "
+        "untouched and keeps its existing prefix bit-identical)",
+    )
     args = parser.parse_args()
 
     import torch
 
     os.makedirs(args.out_dir, exist_ok=True)
     for split, n in (("train", args.n_train), ("test", args.n_test)):
+        if args.only_split and split != args.only_split:
+            continue
         rng = np.random.default_rng(args.seed + (0 if split == "train" else 1))
         videos = np.zeros((n, args.T, 1, args.res, args.res), dtype=np.float32)
         for i in range(n):
