@@ -153,6 +153,61 @@ def test_super_res_train_sample_roundtrip(tmp_path):
     assert arr.shape == (2, 64, 64, 3) and arr.dtype == np.uint8
 
 
+def test_google_cascade_roundtrip(tmp_path):
+    """Two-model frameskip-4 -> frameskip-1 cascade end-to-end (reference
+    scripts/video_sample_google.py:74-79 + video_nll_google.py): train a tiny
+    fs4 (max_frames 16) / fs1 (max_frames 9) pair on the synthetic dataset,
+    sample one video through the cascade, then cascade NLL to an elbo pickle."""
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    ckpts = {}
+    for phase, max_frames in (("fs4", 16), ("fs1", 9)):
+        run(
+            [sys.executable, "scripts/video_train.py", "--dataset", "synthetic",
+             "--T", "100", "--image_size", "32", "--num_channels", "32",
+             "--num_res_blocks", "1", "--num_heads", "2",
+             "--max_frames", str(max_frames), "--batch_size", "1",
+             "--iterations", "2", "--save_interval", "1", "--log_interval", "1",
+             "--sample_interval", "0"],
+            DIFFUSION_TRAINING_TEST="1",
+            DIFFUSION_BLOB_LOGDIR=str(ckdir),
+            OPENAI_LOGDIR=str(tmp_path / f"logs-{phase}"),
+            VDT_RUN_ID=f"goog-{phase}",
+        )
+        ckpts[phase] = ckdir / f"goog-{phase}" / "model_latest.pt"
+        assert ckpts[phase].exists()
+
+    run(
+        [sys.executable, "scripts/video_sample_google.py",
+         str(ckpts["fs4"]), str(ckpts["fs1"]),
+         "--T", "100", "--obs_length", "36", "--subset_size", "1",
+         "--batch_size", "1", "--timestep_respacing", "ddim2",
+         "--use_bf16", "False", "--eval_dir", str(tmp_path / "eval")],
+    )
+    # run identifier: <mode>_<max_frames>_<step_size>_<T>_<obs_length>
+    eval_dir = tmp_path / "eval" / "google_16_8_100_36"
+    samples = list((eval_dir / "samples").glob("sample_*.npy"))
+    assert len(samples) == 1
+    arr = np.load(samples[0])
+    assert arr.shape == (100, 3, 32, 32) and arr.dtype == np.uint8
+
+    run(
+        [sys.executable, "scripts/video_nll_google.py",
+         str(ckpts["fs4"]), str(ckpts["fs1"]),
+         "--T", "100", "--obs_length", "36", "--num_videos", "1",
+         "--num_timesteps", "2", "--eval_dir", str(eval_dir)],
+    )
+    import pickle
+
+    elbos = list((eval_dir / "elbos").glob("elbo_*.pkl"))
+    assert len(elbos) == 1
+    with open(elbos[0], "rb") as f:
+        results = pickle.load(f)
+    phases = {r["phase"] for r in results}
+    assert phases == {"fs4", "fs1"}
+    assert all(np.isfinite(r["total_bpd"]).all() for r in results)
+
+
 def test_train_sample_eval_roundtrip(tmp_path):
     ckdir = tmp_path / "checkpoints"
     ckdir.mkdir()
