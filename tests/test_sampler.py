@@ -301,6 +301,41 @@ def test_bf16_sample_state_knob(tiny, monkeypatch):
     np.testing.assert_array_equal(bf16, bf16_chunked)
 
 
+def test_adaptive_rollout_t_chunk_parity(tiny):
+    """sample_video_adaptive with a t_chunk must be bit-identical to the
+    unchunked run (same rng stream; the chunked runner replays the same
+    per-step draws) — the adaptive path's tunnel-deadline escape."""
+    from video_diffusion_tpu.sampling.sampler import sample_video_adaptive
+
+    model, variables, diffusion = tiny
+    T, B = 10, 2
+
+    def make_strategy():
+        return inference_strategies["adaptive-autoreg"](
+            distance="l2", video_length=T, num_obs=2, max_frames=5,
+            step_size=3,
+        )
+
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(1), (B, T, 32, 32, 3), minval=-1, maxval=1
+    )
+    full = np.asarray(
+        sample_video_adaptive(
+            model, variables, diffusion, make_strategy(), batch, 2,
+            jax.random.PRNGKey(9),
+        )
+    )
+    chunked = np.asarray(
+        sample_video_adaptive(
+            model, variables, diffusion, make_strategy(), batch, 2,
+            jax.random.PRNGKey(9), t_chunk=2,
+        )
+    )
+    assert np.isfinite(full).all()
+    np.testing.assert_array_equal(full[:, :2], np.asarray(batch[:, :2]))
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
 def test_compile_schedule_tolerates_overflowing_window():
     """ExpPast at T=100/max_frames=10/step_size=5 yields an 11-frame window
     (log2(95)->6 obs + 5 latent). The reference feeds oversized windows to

@@ -551,25 +551,41 @@ def sample_video_adaptive(
     clip_denoised=True,
     use_gradient_method=False,
     jit_window=True,
+    t_chunk=None,
 ):
     """Host-in-the-loop rollout for adaptive strategies: the strategy inspects
     generated content between inference steps; each distinct window width
-    compiles once."""
+    compiles once. ``t_chunk`` (default: the VDT_T_CHUNK env var) splits each
+    window's reverse scan into bounded device calls exactly like the
+    non-adaptive rollout — same rng stream, bit-identical output — for the
+    remote-execution per-call deadline (BENCH.md "Batch > 10")."""
+    if t_chunk is None:
+        t_chunk = int(os.environ.get("VDT_T_CHUNK", "0")) or None
     B, T = batch.shape[:2]
     samples = np.zeros((B, T) + batch.shape[2:], dtype=np.float32)
     samples[:, :obs_length] = np.asarray(batch[:, :obs_length])
 
-    def window_fn(v, x0, obs_mask, latent_mask, frame_indices, wrng):
-        return _denoise_window(
-            model, v, diffusion, x0, obs_mask, latent_mask,
-            frame_indices, wrng,
-            observed_frames=observed_frames,
-            clip_denoised=clip_denoised,
-            use_gradient_method=use_gradient_method,
-        )
+    if t_chunk:
+        def window_fn(v, x0, obs_mask, latent_mask, frame_indices, wrng):
+            return _denoise_window_chunked(
+                model, v, diffusion, x0, obs_mask, latent_mask,
+                frame_indices, wrng, t_chunk,
+                observed_frames=observed_frames,
+                clip_denoised=clip_denoised,
+                use_gradient_method=use_gradient_method,
+            )
+    else:
+        def window_fn(v, x0, obs_mask, latent_mask, frame_indices, wrng):
+            return _denoise_window(
+                model, v, diffusion, x0, obs_mask, latent_mask,
+                frame_indices, wrng,
+                observed_frames=observed_frames,
+                clip_denoised=clip_denoised,
+                use_gradient_method=use_gradient_method,
+            )
 
-    if jit_window:
-        window_fn = jax.jit(window_fn)
+        if jit_window:
+            window_fn = jax.jit(window_fn)
 
     strategy.set_videos(samples)
     it = iter(strategy)
