@@ -153,6 +153,89 @@ def test_super_res_train_sample_roundtrip(tmp_path):
     assert arr.shape == (2, 64, 64, 3) and arr.dtype == np.uint8
 
 
+def test_long_nll_fvd_roundtrip(tmp_path):
+    """The remaining video CLIs on one shared tiny checkpoint:
+    video_sample_long (chained unbounded generation + idempotent resume,
+    reference scripts/video_sample_long.py:49-136), video_nll (masked ELBO
+    pickles, video_nll.py:142-188), video_fvd (standalone FVD txt,
+    video_fvd.py:111-162)."""
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    run(
+        [sys.executable, "scripts/video_train.py", "--dataset", "synthetic",
+         "--T", "20", "--image_size", "32", "--num_channels", "32",
+         "--num_res_blocks", "1", "--num_heads", "2", "--max_frames", "5",
+         "--batch_size", "2", "--iterations", "3", "--save_interval", "2",
+         "--log_interval", "1", "--sample_interval", "0"],
+        DIFFUSION_TRAINING_TEST="1",
+        DIFFUSION_BLOB_LOGDIR=str(ckdir),
+        OPENAI_LOGDIR=str(tmp_path / "logs"),
+        VDT_RUN_ID="e2e-long",
+    )
+    ckpt = ckdir / "e2e-long" / "model_latest.pt"
+    assert ckpt.exists()
+
+    # --- video_sample_long: 2 chained chunks, then an idempotent resume ---
+    long_dir = tmp_path / "long"
+    cmd_long = [
+        sys.executable, "scripts/video_sample_long.py", str(ckpt),
+        "--num_chunks", "2", "--T", "10", "--max_frames", "5",
+        "--obs_length", "2", "--step_size", "2",
+        "--timestep_respacing", "ddim2", "--use_bf16", "False",
+        "--eval_dir", str(long_dir),
+    ]
+    run(cmd_long)
+    chunk_dir = long_dir / "long_videos"
+    chunks = sorted(chunk_dir.glob("video_*.npy"))
+    assert [c.name for c in chunks] == ["video_0.npy", "video_1.npy"]
+    a0 = np.load(chunks[0])
+    assert a0.shape == (1, 10, 3, 32, 32) and a0.dtype == np.uint8
+    assert (chunk_dir / "chain_config.json").exists()
+    # chunk 1 conditions on chunk 0's tail: its observed prefix must equal
+    # the previous chunk's last obs_length frames
+    a1 = np.load(chunks[1])
+    np.testing.assert_array_equal(a1[:, :2], a0[:, -2:])
+    mtimes = [c.stat().st_mtime_ns for c in chunks]
+    run(cmd_long)  # resume: existing chunks are skipped untouched
+    assert [c.stat().st_mtime_ns for c in chunks] == mtimes
+
+    # --- video_nll: masked ELBO to per-video pickles ---
+    nll_dir = tmp_path / "nll"
+    run(
+        [sys.executable, "scripts/video_nll.py", str(ckpt),
+         "--T", "10", "--obs_length", "2", "--max_frames", "5",
+         "--step_size", "2", "--num_videos", "1", "--num_timesteps", "2",
+         "--eval_dir", str(nll_dir)],
+    )
+    import pickle
+
+    # video_nll nests the run identifier exactly like video_sample
+    elbos = list((nll_dir / "autoreg_5_2_10_2" / "elbos").glob("elbo_*.pkl"))
+    assert len(elbos) == 1
+    with open(elbos[0], "rb") as f:
+        result = pickle.load(f)
+    flat = result if isinstance(result, list) else [result]
+    assert all(np.isfinite(np.asarray(r["total_bpd"])).all() for r in flat)
+
+    # --- video_fvd: needs a samples dir + model_config.json ---
+    run(
+        [sys.executable, "scripts/video_sample.py", str(ckpt),
+         "--inference_mode", "autoreg", "--obs_length", "2", "--step_size", "2",
+         "--max_frames", "5", "--T", "10", "--subset_size", "2",
+         "--batch_size", "2", "--timestep_respacing", "ddim2",
+         "--use_bf16", "False", "--eval_dir", str(tmp_path / "fvd-eval")],
+    )
+    eval_dir = tmp_path / "fvd-eval" / "autoreg_5_2_10_2"
+    run(
+        [sys.executable, "scripts/video_fvd.py", "--eval_dir", str(eval_dir),
+         "--T", "10", "--batch_size", "2"],
+    )
+    txts = list(eval_dir.glob("fvd-*.txt"))
+    assert len(txts) == 1
+    first = txts[0].read_text().splitlines()[0]
+    assert np.isfinite(float(first))
+
+
 def test_google_cascade_roundtrip(tmp_path):
     """Two-model frameskip-4 -> frameskip-1 cascade end-to-end (reference
     scripts/video_sample_google.py:74-79 + video_nll_google.py): train a tiny
