@@ -102,11 +102,18 @@ if [ -z "$(log_writers)" ]; then
 fi
 
 last=$(count_progress); lastcpu=$(cpu_time); lastchange=$(date +%s)
+baseline=$last
 while true; do
   sleep 60
   cur=$(count_progress); curcpu=$(cpu_time); now=$(date +%s)
-  # >1 s of CPU accrued this 60 s interval = actively compiling, not wedged
+  # >1 s of CPU accrued this 60 s interval = actively compiling, not wedged.
+  # CPU accrual only counts as progress while the CURRENT launch has not yet
+  # produced a kv dump (cur == baseline): a wedged device call can leave a
+  # spinning thread at ~40% CPU with the step counter frozen (observed
+  # round 5, 20+ min at step 7459), which would otherwise mask the stall
+  # forever. After the first dump, only dump progress resets the timer.
   busy=0; [ "$curcpu" -gt "$lastcpu" ] && [ $((curcpu - lastcpu)) -ge 100 ] && busy=1
+  [ "$cur" -gt "$baseline" ] && busy=0
   lastcpu=$curcpu
   if [ "$cur" != "$last" ] || [ "$busy" = 1 ]; then
     last=$cur; lastchange=$now; continue
@@ -117,5 +124,6 @@ while true; do
     lastchange=$(date +%s)
     # new logdir appears after restart; reset the baseline
     sleep 120; last=$(count_progress); lastcpu=$(cpu_time)
+    baseline=$last
   fi
 done
