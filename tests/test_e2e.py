@@ -19,7 +19,7 @@ pytestmark = pytest.mark.skipif(
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(cmd, **env):
+def run(cmd, cwd=None, **env):
     full_env = dict(
         os.environ,
         JAX_PLATFORM_NAME="cpu",
@@ -30,7 +30,8 @@ def run(cmd, **env):
     # the CLI subprocesses must see a plain single-device CPU host
     full_env.pop("XLA_FLAGS", None)
     r = subprocess.run(
-        cmd, cwd=REPO, env=full_env, capture_output=True, text=True, timeout=3000
+        cmd, cwd=cwd or REPO, env=full_env, capture_output=True, text=True,
+        timeout=3000,
     )
     assert r.returncode == 0, f"{cmd}\nSTDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-3000:]}"
     return r
@@ -151,6 +152,44 @@ def test_super_res_train_sample_roundtrip(tmp_path):
     with np.load(npzs[0]) as obj:
         arr = obj["arr_0"]
     assert arr.shape == (2, 64, 64, 3) and arr.dtype == np.uint8
+
+
+def test_dry_run_visualisation_modes(tmp_path):
+    """The reference's manual-test surfaces (SURVEY §4): video_sample
+    --just_visualise renders the schedule PNG without touching a checkpoint
+    (reference video_sample.py:311-401), video_train --just_save_masks dumps
+    mask index draws (train_util.py:800-816), and --just_visualise renders
+    mask/noise grids (train_util.py:758-798)."""
+    # schedule visualisation: no checkpoint needed (script exits before load)
+    run(
+        [sys.executable, str(REPO / "scripts/video_sample.py"), "dummy.pt",
+         "--inference_mode", "hierarchy-2", "--just_visualise",
+         "--T", "24", "--max_frames", "6", "--obs_length", "4",
+         "--step_size", "3", "--eval_dir", str(tmp_path / "eval")],
+        cwd=tmp_path,
+    )
+    pngs = list((tmp_path / "visualisations").glob("sample_vis_*"))
+    assert pngs, "schedule visualisation not written"
+
+    common = [
+        sys.executable, str(REPO / "scripts/video_train.py"),
+        "--dataset", "synthetic", "--T", "12", "--image_size", "32",
+        "--num_channels", "32", "--num_res_blocks", "1", "--num_heads", "2",
+        "--max_frames", "4", "--batch_size", "1",
+    ]
+    run(
+        common + ["--just_save_masks", "True"],
+        cwd=tmp_path, OPENAI_LOGDIR=str(tmp_path / "logs-masks"),
+    )
+    dumps = list((tmp_path / "samples" / "indices").glob("*_frame_indices.pt"))
+    assert len(dumps) == 1
+
+    run(
+        common + ["--just_visualise", "True"],
+        cwd=tmp_path, OPENAI_LOGDIR=str(tmp_path / "logs-vis"),
+    )
+    vis = [p for p in (tmp_path / "logs-vis").rglob("*.png")]
+    assert vis, "mask/noise visualisation not written"
 
 
 def test_long_nll_fvd_roundtrip(tmp_path):
