@@ -57,7 +57,7 @@ PROBES=$(ls checkpoints/bb64/ema_0.9999_[0-9]*.pt 2>/dev/null | sort | tr '\n' '
 
 echo "=== 2. bb64 strategy eval (incl. adaptive-autoreg) ==="
 for mode in autoreg independent exp-past hierarchy-2 adaptive-autoreg; do
-  bs=8; [ "$mode" = independent ] && bs=8
+  bs=8
   VDT_T_CHUNK=50 python baselines/strategy_eval.py \
     checkpoints/bb64/ema_0.9999_"$PAD".pt \
     --T 30 --n 32 --modes "$mode" --batch_size "$bs" --max_frames 20 \

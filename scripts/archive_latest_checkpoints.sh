@@ -8,6 +8,12 @@
 # checkpoint.py), so copying a few seconds after the log line is safe.
 #
 # Usage: bash scripts/archive_latest_checkpoints.sh <trainer-log> <ckpt-dir>
+#
+# If PROBE_DATA is set (path to a test .pt), each archived EMA is also run
+# through the conditioning-emergence probe (baselines/eps_gap_probe.py) on
+# CPU — the trainer keeps the TPU — and the JSON lines accumulate in
+# <ckpt-dir>/eps_gap.jsonl, so emergence is visible in-cadence instead of
+# being discovered in the endgame (VERDICT r5 item 1).
 set -u
 LOG=$1; DIR=$2
 seen=""
@@ -33,6 +39,14 @@ while true; do
       [ -f "$dst" ] || cp "$f" "$dst" || ok=0
     done
     [ "$ok" = 1 ] && { seen="$seen $s"; echo "[archiver] step $s archived"; }
+    if [ "$ok" = 1 ] && [ -n "${PROBE_DATA:-}" ]; then
+      ema=$(ls "$DIR"/ema_*_"$pad".pt 2>/dev/null | head -1)
+      [ -n "$ema" ] && JAX_PLATFORMS=cpu python baselines/eps_gap_probe.py \
+        "$ema" --data "$PROBE_DATA" --T "${PROBE_T:-20}" \
+        --n_obs "${PROBE_NOBS:-5}" --batch 16 --t 500 700 \
+        >> "$DIR/eps_gap.jsonl" 2>> "$DIR/eps_gap.err" \
+        && echo "[archiver] step $s probed: $(tail -1 "$DIR/eps_gap.jsonl")"
+    fi
   done
   sleep 30
 done

@@ -17,8 +17,8 @@ _spec = importlib.util.spec_from_file_location(
                  "video_eval_room_seq_acc.py"),
 )
 room_seq_acc = importlib.util.module_from_spec(_spec)
-sys.modules["room_seq_acc"] = _spec.loader.load_module("room_seq_acc")
-room_seq_acc = sys.modules["room_seq_acc"]
+sys.modules["room_seq_acc"] = room_seq_acc
+_spec.loader.exec_module(room_seq_acc)
 
 
 def test_rgb_to_hsv_matches_colorsys():
