@@ -372,3 +372,62 @@ def test_train_sample_eval_roundtrip(tmp_path):
     )
     pkls = list(eval_dir.glob("metrics_*.pkl"))
     assert len(pkls) == 1
+
+
+def test_optimal_schedule_search_then_consume(tmp_path):
+    """Search -> optimal_schedule.pt -> video_sample --optimality consumes it
+    (reference video_optimal_schedule.py:222-354 producing the pickle that
+    inference_util.py:95-103 reads). Both CLIs derive the same
+    <eval_dir>/<mode>_optimal-<optimality>_... run dir, which is the
+    consumption contract."""
+    import pickle
+
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    run(
+        [sys.executable, "scripts/video_train.py", "--dataset", "synthetic",
+         "--T", "20", "--image_size", "32", "--num_channels", "32",
+         "--num_res_blocks", "1", "--num_heads", "2", "--max_frames", "5",
+         "--batch_size", "2", "--iterations", "3", "--save_interval", "2",
+         "--log_interval", "1", "--sample_interval", "100000"],
+        DIFFUSION_TRAINING_TEST="1",
+        DIFFUSION_BLOB_LOGDIR=str(ckdir),
+        OPENAI_LOGDIR=str(tmp_path / "logs"),
+        VDT_RUN_ID="sched",
+    )
+    ckpt = ckdir / "sched" / "model_latest.pt"
+    assert ckpt.exists()
+
+    opt = "linspace-t-force-nearby"
+    common = ["--inference_mode", "autoreg", "--obs_length", "2",
+              "--step_size", "2", "--max_frames", "5", "--T", "10",
+              "--timestep_respacing", "ddim5"]
+    run(
+        [sys.executable, "scripts/video_optimal_schedule.py", str(ckpt),
+         "--optimality", opt, "--num_videos", "1", "--num_t", "2",
+         *common, "--eval_dir", str(tmp_path / "eval")],
+        DIFFUSION_TRAINING_TEST="1",
+    )
+    run_dir = tmp_path / "eval" / f"autoreg_optimal-{opt}_5_2_10_2"
+    sched_path = run_dir / "optimal_schedule.pt"
+    assert sched_path.exists(), list((tmp_path / "eval").glob("**/*"))
+    with open(sched_path, "rb") as f:
+        schedule = pickle.load(f)
+    # every strategy step is present, obs sets are within budget and drawn
+    # from already-done frames
+    assert set(schedule) == set(range(len(schedule))) and len(schedule) >= 2
+    for s, obs_set in schedule.items():
+        assert len(obs_set) <= 3  # max_frames - len(latents) = 5 - 2
+        assert all(0 <= i < 10 for i in obs_set)
+
+    run(
+        [sys.executable, "scripts/video_sample.py", str(ckpt),
+         *common, "--subset_size", "1", "--batch_size", "1",
+         "--num_samples", "1", "--optimality", opt, "--use_bf16", "False",
+         "--eval_dir", str(tmp_path / "eval")],
+        DIFFUSION_TRAINING_TEST="1",
+    )
+    samples = list((run_dir / "samples").glob("sample_*.npy"))
+    assert len(samples) == 1
+    arr = np.load(samples[0])
+    assert arr.shape == (10, 3, 32, 32) and arr.dtype == np.uint8
